@@ -1,0 +1,53 @@
+"""pandera_unified_validator_spark — a PySpark-native schema + constraint
+validation and data-quality engine.
+
+From-scratch rebuild of the capabilities of
+``iAn-P1nt0/pandera-unified-validator`` (see SURVEY.md), re-expressed as
+declarative Spark plans: one codegen pass for row-local checks, broadcast
+joins for uniqueness/referential checks, single-aggregation profiling,
+partition-group streaming with checkpoint/resume, plus the large-scale
+training-data operators (dedup, similarity search, text analysis,
+multimodal plumbing) the reference lacks.
+"""
+
+from .plans.schema import (
+    ColumnSpec,
+    ConditionalCheck,
+    CrossColumnCheck,
+    CustomCheck,
+    SchemaBuilder,
+    ValidationSchema,
+)
+from .operators.validator import (
+    SparkValidator,
+    ValidationFailedError,
+    ValidationResult,
+)
+from .utils.reporting import (
+    CheckResult,
+    ValidationMetrics,
+    ValidationReport,
+    to_opentelemetry,
+    to_prometheus,
+)
+from .session import get_spark
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "ColumnSpec",
+    "CustomCheck",
+    "CrossColumnCheck",
+    "ConditionalCheck",
+    "SchemaBuilder",
+    "ValidationSchema",
+    "SparkValidator",
+    "ValidationResult",
+    "ValidationFailedError",
+    "ValidationReport",
+    "ValidationMetrics",
+    "CheckResult",
+    "to_prometheus",
+    "to_opentelemetry",
+    "get_spark",
+]

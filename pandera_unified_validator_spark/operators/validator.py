@@ -1,0 +1,306 @@
+"""The Spark-native validation engine.
+
+Replaces the reference's ``UnifiedValidator`` eager pandas/pandera/Pydantic
+pipeline (reference ``core/validator.py:109-167``, lifecycle in SURVEY.md §3.1)
+with a single declarative plan:
+
+1. driver-side preflight: missing columns (C10) + dtype conformance (C9);
+2. ONE whole-stage-codegen pass computing every row-local check as a boolean
+   flag column (C1-C7, U1-U3) — no Python in the hot path;
+3. global checks as their scalable Spark shapes:
+   * ``unique`` (C8) → map-side-combined ``groupBy(key).count()`` (the
+     duplicate-key set is tiny when data is mostly clean) → **broadcast**
+     left join back to flag member rows — the hash-repartitioned distinct
+     count of the north rule without a sort or window;
+   * referential (C6 against a dimension DataFrame) → **broadcast** left
+     join against the distinct dimension keys;
+4. one aggregation producing per-partition × per-check verdict counts;
+5. violation rows as a DataFrame (keyed by the caller's key columns, e.g.
+   ``doc_id`` — positional pandas indices from
+   ``backends/pandas_backend.py:77-98`` are not stable under distribution,
+   SURVEY.md §7.4.1), each row carrying ``failed_checks array<string>``.
+
+Checks always run in collect-all mode (reference "lazy"); ``fail_fast`` only
+controls raise-vs-return, matching ``core/validator.py:136-137``.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import reduce
+from typing import Any, Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.compiler import (
+    CompiledCheck,
+    GlobalCheck,
+    compile_schema,
+    dtype_errors,
+)
+from ..plans.schema import ValidationSchema
+from ..utils.reporting import CheckResult, ValidationReport
+
+__all__ = ["SparkValidator", "ValidationResult", "ValidationFailedError", "FLAG_PREFIX"]
+
+FLAG_PREFIX = "__chk_"
+_PID = "__puv_pid"
+_ROW_OK = "__puv_row_ok"
+
+
+class ValidationFailedError(Exception):
+    def __init__(self, report: ValidationReport):
+        self.report = report
+        super().__init__(
+            f"validation failed: {len(report.failed_checks)} failed checks, "
+            f"{report.n_invalid_rows} invalid rows"
+        )
+
+
+@dataclass
+class ValidationResult:
+    """Outcome bundle: driver-side report + distributed DataFrames.
+
+    ``flags`` is the annotated input (original columns + one boolean flag per
+    check + ``__puv_row_ok``); everything else derives from it lazily so
+    callers pay only for what they use.
+    """
+
+    report: ValidationReport
+    flags: DataFrame
+    checks: tuple[str, ...]                   # flag column names (no prefix)
+    verdicts: DataFrame                        # per-partition × check counts (long)
+    key_columns: tuple[str, ...] = ()
+
+    @property
+    def is_valid(self) -> bool:
+        return self.report.is_valid
+
+    def violations(self, include_flags: bool = False) -> DataFrame:
+        """Invalid rows + ``failed_checks array<string>`` (P5/P6 analogue)."""
+        failed_names = F.array_compact(
+            F.array(
+                *[
+                    F.when(~F.col(FLAG_PREFIX + c), F.lit(c))
+                    for c in self.checks
+                ]
+            )
+        )
+        out = self.flags.filter(~F.col(_ROW_OK)).withColumn("failed_checks", failed_names)
+        if not include_flags:
+            out = out.drop(*[FLAG_PREFIX + c for c in self.checks], _ROW_OK, _PID)
+        return out
+
+    def valid_rows(self) -> DataFrame:
+        """The clean split (reference backends/pandas_backend.py:64-75)."""
+        drop = [FLAG_PREFIX + c for c in self.checks] + [_ROW_OK, _PID]
+        return self.flags.filter(F.col(_ROW_OK)).drop(*drop)
+
+    def invalid_rows(self) -> DataFrame:
+        drop = [FLAG_PREFIX + c for c in self.checks] + [_ROW_OK, _PID]
+        return self.flags.filter(~F.col(_ROW_OK)).drop(*drop)
+
+
+class SparkValidator:
+    """Validate a DataFrame against a ValidationSchema — one pass, all checks.
+
+    Parameters
+    ----------
+    schema:
+        the declarative schema.
+    ref_checks:
+        ``{column: dimension DataFrame (or column name in it)}`` — referential
+        integrity against a dimension table executed as a broadcast anti-join
+        (C6 at scale; the north rule's "source against an allowed-values
+        dimension").
+    key_columns:
+        stable row identity for violation reporting (e.g. ``("doc_id",)``).
+    partition_by:
+        logical partition column for per-partition verdicts; default =
+        physical ``spark_partition_id()``.
+    """
+
+    def __init__(
+        self,
+        schema: ValidationSchema,
+        *,
+        ref_checks: Mapping[str, DataFrame | tuple[DataFrame, str]] | None = None,
+        key_columns: Sequence[str] = (),
+        partition_by: str | None = None,
+        collect_samples: bool = False,
+        max_samples: int = 5,
+        fail_fast: bool = False,
+    ) -> None:
+        self.schema = schema
+        self.ref_checks = dict(ref_checks or {})
+        self.key_columns = tuple(key_columns)
+        self.partition_by = partition_by
+        self.collect_samples = collect_samples
+        self.max_samples = max_samples
+        self.fail_fast = fail_fast
+
+    # ------------------------------------------------------------------ #
+    def annotate(self, df: DataFrame) -> tuple[DataFrame, list[CompiledCheck], list[str]]:
+        """Input df → df + one boolean flag column per check (TRUE = pass).
+
+        Row-local checks are pure expressions (one codegen stage); unique and
+        referential checks become broadcast-join-produced flags.
+        """
+        row_checks, global_checks, missing = compile_schema(self.schema, df.columns)
+        annotated = df.withColumn(_PID, F.spark_partition_id())
+
+        flag_cols: list[Column] = []
+        names: list[CompiledCheck] = []
+        for chk in row_checks:
+            # NULL check result (possible from custom SQL/UDF) counts as FAIL,
+            # matching pandera's treatment of non-boolean check output.
+            flag_cols.append(F.coalesce(chk.expr, F.lit(False)).alias(FLAG_PREFIX + chk.name))
+            names.append(chk)
+        annotated = annotated.select("*", *flag_cols)
+
+        # unique (C8): dup-key set via partial-agg groupBy → broadcast join.
+        for g in global_checks:
+            if g.check != "unique":
+                continue
+            col = g.column
+            dup_keys = (
+                df.filter(F.col(col).isNotNull())
+                .groupBy(col)
+                .agg(F.count(F.lit(1)).alias("__dup_n"))
+                .filter(F.col("__dup_n") > 1)
+                .select(F.col(col).alias("__dup_key"))
+            )
+            annotated = annotated.join(
+                F.broadcast(dup_keys),
+                on=annotated[col] == F.col("__dup_key"),
+                how="left",
+            ).withColumn(
+                FLAG_PREFIX + g.name, F.col("__dup_key").isNull()
+            ).drop("__dup_key")
+            names.append(CompiledCheck(g.name, col, F.col(FLAG_PREFIX + g.name), "unique"))
+
+        # referential (C6 vs dimension): broadcast left join on distinct keys.
+        for col, dim in self.ref_checks.items():
+            if isinstance(dim, tuple):
+                dim_df, dim_col = dim
+            else:
+                dim_df, dim_col = dim, dim.columns[0]
+            name = f"{col}__referential"
+            keys = dim_df.select(F.col(dim_col).alias("__ref_key")).distinct()
+            annotated = annotated.join(
+                F.broadcast(keys),
+                on=annotated[col] == F.col("__ref_key"),
+                how="left",
+            ).withColumn(
+                # NULL fk passes (nullability is its own check)
+                FLAG_PREFIX + name,
+                F.col(col).isNull() | F.col("__ref_key").isNotNull(),
+            ).drop("__ref_key")
+            names.append(CompiledCheck(name, col, F.col(FLAG_PREFIX + name), "referential"))
+
+        all_flags = [FLAG_PREFIX + c.name for c in names]
+        row_ok = (
+            reduce(lambda a, b: a & b, [F.col(f) for f in all_flags])
+            if all_flags
+            else F.lit(True)
+        )
+        annotated = annotated.withColumn(_ROW_OK, row_ok)
+        return annotated, names, missing
+
+    # ------------------------------------------------------------------ #
+    def validate(self, df: DataFrame) -> ValidationResult:
+        t0 = time.time()
+        schema_errors = [
+            f"column {m!r} missing from input" for m in
+            compile_schema(self.schema, df.columns)[2]
+        ]
+        schema_errors += dtype_errors(self.schema, df)
+        if self.schema.strict:
+            extra = set(df.columns) - set(self.schema.columns)
+            schema_errors += [f"unexpected column {c!r} (strict mode)" for c in sorted(extra)]
+
+        annotated, checks, _missing = self.annotate(df)
+        flag_names = [c.name for c in checks]
+
+        pid = F.col(self.partition_by) if self.partition_by else F.col(_PID)
+        # ONE aggregation job: per-partition totals + per-check fail counts.
+        aggs = [
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((~F.col(_ROW_OK)).cast("long")).alias("n_invalid_rows"),
+        ] + [
+            F.sum((~F.col(FLAG_PREFIX + n)).cast("long")).alias(n) for n in flag_names
+        ]
+        wide = annotated.groupBy(pid.alias("partition_id")).agg(*aggs)
+        # long-format verdict DataFrame for downstream use / persistence
+        if flag_names:
+            stack_expr = ", ".join(f"'{n}', `{n}`" for n in flag_names)
+            verdicts = wide.selectExpr(
+                "partition_id",
+                "n_rows",
+                "n_invalid_rows",
+                f"stack({len(flag_names)}, {stack_expr}) as (check, n_failed)",
+            )
+        else:
+            verdicts = wide.selectExpr(
+                "partition_id", "n_rows", "n_invalid_rows",
+                "CAST(NULL AS STRING) as check", "CAST(0 AS LONG) as n_failed",
+            )
+
+        rows = wide.collect()
+        n_rows = sum(r["n_rows"] for r in rows)
+        n_invalid = sum(r["n_invalid_rows"] for r in rows)
+        by_check = {n: sum(r[n] for r in rows) for n in flag_names}
+
+        samples: dict[str, tuple] = {}
+        if self.collect_samples and self.key_columns:
+            failed = [c for c in checks if by_check.get(c.name)]
+            for c in failed[:20]:  # bound the number of extra jobs
+                cols = list(self.key_columns) + ([c.column] if c.column else [])
+                sample_rows = (
+                    annotated.filter(~F.col(FLAG_PREFIX + c.name))
+                    .select(*dict.fromkeys(cols))
+                    .limit(self.max_samples)
+                    .collect()
+                )
+                samples[c.name] = tuple(r.asDict() for r in sample_rows)
+
+        results = tuple(
+            CheckResult(
+                name=c.name,
+                column=c.column,
+                check=c.check,
+                n_failed=int(by_check.get(c.name, 0)),
+                n_checked=int(n_rows),
+                samples=samples.get(c.name, ()),
+            )
+            for c in checks
+        )
+        report = ValidationReport(
+            is_valid=not schema_errors and all(r.passed for r in results),
+            checks=results,
+            errors=tuple(schema_errors),
+            n_rows=int(n_rows),
+            n_invalid_rows=int(n_invalid),
+            metadata={
+                "engine": "pandera_unified_validator_spark",
+                "elapsed_sec": round(time.time() - t0, 3),
+                "n_partitions": len(rows),
+            },
+        )
+        result = ValidationResult(
+            report=report,
+            flags=annotated,
+            checks=tuple(flag_names),
+            verdicts=verdicts,
+            key_columns=self.key_columns,
+        )
+        if self.fail_fast and not report.is_valid:
+            raise ValidationFailedError(report)
+        return result
+
+    # convenience: the reference's filter_invalid_rows split (P5)
+    def validate_and_split(self, df: DataFrame) -> tuple[DataFrame, DataFrame, ValidationReport]:
+        res = self.validate(df)
+        return res.valid_rows(), res.invalid_rows(), res.report

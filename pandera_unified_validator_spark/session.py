@@ -1,0 +1,47 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Local mode here mirrors a multi-executor cluster's behavior via partitioning;
+the same config block ships to ``spark-submit --py-files`` unchanged (the
+master/shuffle-partition knobs come from the cluster there).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_spark"]
+
+
+def get_spark(
+    app_name: str = "pandera_unified_validator_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    # shuffle partitions ≈ cores in local mode; a real cluster sets this to
+    # 2-3× total executor cores (or relies on AQE coalescing from a high cap).
+    n_shuffle = shuffle_partitions or (
+        int(master[6:-1]) if master.startswith("local[") and master[6:-1].isdigit() else cpus
+    )
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("PUV_DRIVER_MEMORY", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

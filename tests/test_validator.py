@@ -1,0 +1,192 @@
+"""End-to-end validation engine tests over the deterministic token table
+(FIXTURES.md F1) and small literal frames — the Spark analogue of the
+reference's tests/test_core/test_unified_validator.py + test_backends.py."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandera_unified_validator_spark import (
+    SchemaBuilder,
+    SparkValidator,
+    ValidationFailedError,
+)
+from pandera_unified_validator_spark.tokens import (
+    MAX_TOK,
+    VOCAB_SIZE,
+    expected_dirty_counts,
+    source_dim,
+    token_schema,
+    token_table,
+)
+
+N = 3000
+
+
+@pytest.fixture(scope="module")
+def clean(spark):
+    return token_table(spark, N, dirty=False, num_partitions=4).cache()
+
+
+@pytest.fixture(scope="module")
+def dirty(spark):
+    return token_table(spark, N, dirty=True, num_partitions=4).cache()
+
+
+def make_validator(spark, **kw):
+    return SparkValidator(
+        token_schema(),
+        ref_checks={"source": source_dim(spark)},
+        key_columns=("doc_id",),
+        **kw,
+    )
+
+
+def test_clean_table_passes(spark, clean):
+    res = make_validator(spark).validate(clean)
+    assert res.is_valid, res.report.to_console()
+    assert res.report.n_rows == N
+    assert res.report.n_invalid_rows == 0
+    assert res.violations().count() == 0
+
+
+def test_dirty_table_verdicts_exact(spark, dirty):
+    res = make_validator(spark).validate(dirty)
+    assert not res.is_valid
+    got = {c.name: c.n_failed for c in res.report.checks}
+    exp = expected_dirty_counts(N)
+    for name, n in exp.items():
+        assert got[name] == n, f"{name}: got {got[name]}, expected {n}"
+    # pattern check: only null doc_ids are exempt; all injected values match
+    assert got["doc_id__pattern"] == 0
+    # referential via dimension table must agree with the literal isin check
+    assert got["source__referential"] == got["source__isin"]
+    # cross-column: injected length mismatches + element-injection rows whose
+    # rebuilt 2-token array no longer matches n_tok
+    assert got["table__tokens_len_matches"] >= exp.get("tokens__element_range", 0)
+
+
+def test_violation_rows_keyed_and_labeled(spark, dirty):
+    res = make_validator(spark).validate(dirty)
+    v = res.violations()
+    assert "failed_checks" in v.columns
+    n_invalid = res.report.n_invalid_rows
+    assert v.count() == n_invalid
+    # every violation row carries at least one failed check name
+    assert v.filter(F.size("failed_checks") == 0).count() == 0
+    # a known injected row: id=991 duplicates doc 990
+    row = v.filter(F.col("doc_id") == "doc-%012d" % 990).collect()
+    assert row and "doc_id__unique" in row[0]["failed_checks"]
+
+
+def test_split_partitions_input(spark, dirty):
+    valid, invalid, report = make_validator(spark).validate_and_split(dirty)
+    assert valid.count() + invalid.count() == N
+    assert invalid.count() == report.n_invalid_rows
+    assert set(valid.columns) == {"doc_id", "tokens", "n_tok", "source"}
+
+
+def test_fail_fast_raises(spark, dirty):
+    with pytest.raises(ValidationFailedError):
+        make_validator(spark, fail_fast=True).validate(dirty)
+
+
+def test_per_partition_verdicts(spark, dirty):
+    res = make_validator(spark).validate(dirty)
+    pv = res.verdicts.collect()
+    # long format: one row per (partition, check)
+    checks = {r["check"] for r in pv}
+    assert "n_tok__ge" in checks and "doc_id__unique" in checks
+    total = sum(r["n_failed"] for r in pv if r["check"] == "source__isin")
+    assert total == expected_dirty_counts(N)["source__isin"]
+
+
+def test_missing_column_and_dtype_errors(spark):
+    df = spark.createDataFrame([(1, "a")], "id long, name string")
+    schema = (
+        SchemaBuilder("t")
+        .column("id", "str")           # dtype mismatch: long vs str
+        .column("absent", "int")       # missing column
+        .build()
+    )
+    rep = SparkValidator(schema).validate(df).report
+    assert not rep.is_valid
+    assert any("absent" in e for e in rep.errors)
+    assert any("dtype" in e for e in rep.errors)
+
+
+def test_null_passes_value_checks(spark):
+    # pandera semantics: NULL passes ge/le/pattern/isin; nullable is separate
+    df = spark.createDataFrame([(None,), (5,), (-3,)], "x int")
+    schema = SchemaBuilder("t").column("x", "int", ge=0).build()
+    rep = SparkValidator(schema).validate(df).report
+    by = {c.name: c.n_failed for c in rep.checks}
+    assert by["x__ge"] == 1  # only -3
+
+
+def test_conditional_check_enforced(spark):
+    # the reference collected but never enforced conditionals (dead code);
+    # we implement the declared semantics
+    df = spark.createDataFrame(
+        [("premium", 100.0), ("premium", 5.0), ("basic", 5.0), (None, 1.0)],
+        "tier string, spend double",
+    )
+    schema = (
+        SchemaBuilder("t")
+        .column("tier", "str")
+        .column("spend", "float")
+        .conditional_check("premium_min_spend", "tier = 'premium'", "spend >= 50.0")
+        .build()
+    )
+    rep = SparkValidator(schema).validate(df).report
+    by = {c.name: c.n_failed for c in rep.checks}
+    assert by["table__premium_min_spend"] == 1
+
+
+def test_custom_sql_and_pandas_udf_checks(spark):
+    import pandas as pd
+
+    df = spark.createDataFrame([("abc",), ("x",), (None,)], "s string")
+    schema = (
+        SchemaBuilder("t")
+        .column("s", "str")
+        .custom_check("s", "min_len", sql="length({c}) >= 2")
+        .custom_check("s", "no_x", fn=lambda ser: ~ser.str.contains("x"))
+        .build()
+    )
+    rep = SparkValidator(schema).validate(df).report
+    by = {c.name: c.n_failed for c in rep.checks}
+    assert by["s__custom:min_len"] == 1     # "x"; NULL passes
+    assert by["s__custom:no_x"] == 1
+
+
+def test_strict_mode_flags_extra_columns(spark):
+    df = spark.createDataFrame([(1, "a")], "id long, extra string")
+    schema = SchemaBuilder("t").column("id", "int").strict().build()
+    rep = SparkValidator(schema).validate(df).report
+    assert any("extra" in e for e in rep.errors)
+
+
+def test_token_array_determinism(spark):
+    # per-row token-array equality: the generator is a pure function of
+    # (id, seed), so two independent builds must agree exactly
+    a = token_table(spark, 200, num_partitions=2)
+    b = token_table(spark, 200, num_partitions=7)  # different parallelism
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_report_exports(spark, dirty):
+    from pandera_unified_validator_spark import to_opentelemetry, to_prometheus
+    from pandera_unified_validator_spark.utils.reporting import ValidationMetrics
+
+    res = make_validator(spark).validate(dirty)
+    d = res.report.to_dict()
+    assert d["summary"]["n_rows"] == N
+    assert res.report.to_json().startswith("{")
+    html = res.report.to_html()
+    assert "FAILED" in html
+    m = ValidationMetrics()
+    m.update(10, 2, {"n_tok__ge": 2})
+    prom = to_prometheus(m)
+    assert "puv_total_rows 12" in prom
+    otel = to_opentelemetry(m)
+    assert otel["resource_metrics"]["metrics"][0]["data_points"][0]["value"] == 12
