@@ -300,6 +300,23 @@ class SparkValidator:
             raise ValidationFailedError(report)
         return result
 
+    def check_counts(self, df: DataFrame) -> DataFrame:
+        """Lazy check-failure totals as a DataFrame (check, n_failed,
+        n_checked) — the uncollected core of ``validate`` for composing into
+        larger plans / SQL-oracle comparison. One aggregation job when acted on.
+        """
+        annotated, checks, _ = self.annotate(df)
+        flag_names = [c.name for c in checks]
+        aggs = [F.count(F.lit(1)).alias("__n")] + [
+            F.sum((~F.col(FLAG_PREFIX + n)).cast("long")).alias(n) for n in flag_names
+        ]
+        wide = annotated.agg(*aggs)
+        stack_expr = ", ".join(f"'{n}', `{n}`" for n in flag_names)
+        return wide.selectExpr(
+            f"stack({len(flag_names)}, {stack_expr}) as (check, n_failed)",
+            "__n as n_checked",
+        ).select("check", "n_failed", "n_checked")
+
     # convenience: the reference's filter_invalid_rows split (P5)
     def validate_and_split(self, df: DataFrame) -> tuple[DataFrame, DataFrame, ValidationReport]:
         res = self.validate(df)

@@ -1,0 +1,132 @@
+"""Profiler + drift tests — Spark analogue of reference
+tests/test_core/test_profiling.py, with exact-mode comparisons against
+pandas oracles at test scale."""
+
+import math
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pandera_unified_validator_spark.operators.drift import (
+    chi_square_from_counts,
+    compare_profiles,
+    numeric_drift,
+    psi_from_counts,
+    token_frequency_drift,
+)
+from pandera_unified_validator_spark.operators.profiler import DataProfiler
+from pandera_unified_validator_spark.tokens import token_table
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    # FIXTURES.md F5-style frame
+    pdf = pd.DataFrame(
+        {
+            "id": range(100),
+            "name": [f"Name {chr(65 + i % 3)}" for i in range(100)],
+            "score": [float(i % 50) for i in range(100)],
+            "category": [["A", "B", "C"][i % 3] for i in range(100)],
+        }
+    )
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_profile_stats_match_pandas(spark, frame):
+    df, pdf = frame
+    rep = DataProfiler(exact=True).profile(df)
+    assert rep.n_rows == 100
+    p = rep.columns["score"]
+    assert p.mean == pytest.approx(pdf["score"].mean())
+    assert p.std == pytest.approx(pdf["score"].std(ddof=0))
+    assert p.min == pdf["score"].min() and p.max == pdf["score"].max()
+    assert p.median == pytest.approx(pdf["score"].quantile(0.5))
+    assert p.q1 == pytest.approx(pdf["score"].quantile(0.25))
+    assert rep.columns["id"].unique_ratio == 1.0
+    assert rep.columns["id"].n_distinct == 100
+
+
+def test_histogram_counts_sum_to_rows(spark, frame):
+    df, pdf = frame
+    rep = DataProfiler(exact=True).profile(df)
+    hist = rep.columns["score"].histogram
+    assert len(hist) == 10
+    assert sum(n for _, _, n in hist) == 100
+
+
+def test_categorical_and_pattern_inference(spark, frame):
+    df, _ = frame
+    rep = DataProfiler(exact=True).profile(df)
+    assert rep.columns["category"].categorical_values == ["A", "B", "C"]
+    assert rep.columns["name"].inferred_pattern == r"^[A-Za-z\s]+$"
+
+
+def test_suggestions_and_suggested_schema(spark, frame):
+    df, _ = frame
+    rep = DataProfiler(exact=True).profile(df)
+    s = rep.columns["id"].suggestion
+    assert s["unique"] is True and s["nullable"] is False
+    assert s["ge"] == 0 and s["le"] == 99
+    schema = rep.suggested_schema()
+    assert schema.columns["category"].isin == ["A", "B", "C"]
+    # the suggested schema must validate the data it was inferred from
+    from pandera_unified_validator_spark import SparkValidator
+
+    assert SparkValidator(schema).validate(df).is_valid
+
+
+def test_duplicate_rows_and_quality(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b"), (3, None)], "id int, s string"
+    )
+    rep = DataProfiler(exact=True).profile(df)
+    assert rep.duplicate_rows == 1
+    assert 0.0 < rep.quality_score <= 1.0
+    assert rep.quality["completeness"] == pytest.approx(1 - 1 / 8)
+
+
+def test_correlations(spark):
+    pdf = pd.DataFrame({"x": range(50), "y": [2 * i + 1 for i in range(50)]})
+    rep = DataProfiler(exact=True).profile(spark.createDataFrame(pdf))
+    assert rep.correlations[("x", "y")] == pytest.approx(1.0)
+
+
+def test_mean_drift_detection(spark, frame):
+    df, pdf = frame
+    shifted = df.withColumn("score", F.col("score") + 50.0)
+    prof = DataProfiler(exact=True, correlations=False)
+    rep = compare_profiles(prof.profile(df), prof.profile(shifted))
+    assert rep.drifted
+    assert rep.column_drift["score"] > 0.2
+    same = compare_profiles(prof.profile(df), prof.profile(df))
+    assert not same.drifted
+
+
+def test_psi_math():
+    assert psi_from_counts([10, 10, 10], [10, 10, 10]) == pytest.approx(0.0)
+    assert psi_from_counts([30, 0, 0], [0, 0, 30]) > 1.0
+    stat, dof = chi_square_from_counts([10, 10], [10, 10])
+    assert stat == pytest.approx(0.0) and dof == 1
+
+
+def test_numeric_drift_psi(spark):
+    a = token_table(spark, 2000, seed=42)
+    b_same = token_table(spark, 2000, seed=42)
+    rep = numeric_drift(a, b_same, "n_tok")
+    assert rep.psi["n_tok"] == pytest.approx(0.0, abs=1e-9)
+    # shift: halve every n_tok → distribution change must trip PSI
+    b_shift = a.withColumn("n_tok", (F.col("n_tok") / 4 + 1).cast("int"))
+    rep2 = numeric_drift(a, b_shift, "n_tok")
+    assert rep2.drifted and rep2.psi["n_tok"] > 0.2
+
+
+def test_token_frequency_drift(spark):
+    a = token_table(spark, 500, seed=42)
+    b = token_table(spark, 500, seed=42)
+    rep = token_frequency_drift(a, b, num_buckets=64)
+    assert rep.psi["tokens"] == pytest.approx(0.0, abs=1e-9)
+    # biased tokens: clamp ids to a small range → bucket distribution shifts
+    biased = a.withColumn("tokens", F.transform("tokens", lambda t: t % 7))
+    rep2 = token_frequency_drift(a, biased, num_buckets=64)
+    assert rep2.drifted and rep2.psi["tokens"] > 0.5

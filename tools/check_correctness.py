@@ -1,0 +1,126 @@
+"""Local replica of the driver's correctness gate: run every queries() entry
+on Spark and its oracle_sql() twin on DuckDB over the same parquet, compare
+row count, sorted column names, and an order-insensitive value hash.
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm_cell(v) -> str:
+    if v is None:
+        return "∅"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        if v != v:
+            return "nan"
+        # normalize -0.0 / int-valued floats the way a tolerant driver would
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return f"{v:.6g}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def value_hash(rows: list[tuple], colnames: list[str]) -> str:
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    lines = sorted("|".join(norm_cell(r[i]) for i in order) for r in rows)
+    return hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entry_mod
+
+    from pandera_unified_validator_spark.session import get_spark
+
+    spark = get_spark("correctness", master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    n_pass = n_fail = 0
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"  ok {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            n_pass += 1
+            continue
+        try:
+            res = con.execute(sql)
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        problems = []
+        if len(srows) != len(orows):
+            problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"columns spark={sorted(scols)} oracle={sorted(ocols)}")
+        if not problems:
+            hs, ho = value_hash(srows, scols), value_hash(orows, ocols)
+            if hs != ho:
+                problems.append(f"value hash mismatch {hs} != {ho}")
+                order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+                order_o = sorted(range(len(ocols)), key=lambda i: ocols[i])
+                ls = sorted("|".join(norm_cell(r[i]) for i in order_s) for r in srows)
+                lo = sorted("|".join(norm_cell(r[i]) for i in order_o) for r in orows)
+                for a, b in zip(ls, lo):
+                    if a != b:
+                        problems.append(f"  spark : {a}\n  oracle: {b}")
+                        break
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems[:3]))
+            n_fail += 1
+        else:
+            print(f"  ok {name}: {len(srows)} rows match ({time.time()-t0:.1f}s)")
+            n_pass += 1
+
+    # smoke entry()
+    try:
+        edf = entry_mod.entry(spark)
+        n = len(edf.collect())
+        print(f"  ok entry(): {n} rows, schema {edf.columns}")
+    except Exception as e:
+        print(f"FAIL entry(): {e}")
+        n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
