@@ -30,6 +30,9 @@ from .utils.reporting import (
     to_opentelemetry,
     to_prometheus,
 )
+from .operators.profiler import DataProfiler, ProfileReport
+from .operators.drift import DriftReport, compare_profiles, numeric_drift, token_frequency_drift
+from .streaming.runner import PartitionedValidationRunner, StreamingResult
 from .session import get_spark
 
 __version__ = "0.1.0"
@@ -50,4 +53,12 @@ __all__ = [
     "to_prometheus",
     "to_opentelemetry",
     "get_spark",
+    "DataProfiler",
+    "ProfileReport",
+    "DriftReport",
+    "compare_profiles",
+    "numeric_drift",
+    "token_frequency_drift",
+    "PartitionedValidationRunner",
+    "StreamingResult",
 ]

@@ -1,0 +1,286 @@
+"""Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+No reference analogue (SURVEY.md §2.8 scope fence) — required first-class
+components for the 100 TB corpus use case. Scale shapes:
+
+* exact: hash-first groupBy (the shuffle moves 8-byte digests + keys, never
+  document text);
+* MinHash/SimHash LSH: candidate generation via band-bucket equi-join — the
+  only all-pairs-free way to near-dedup 10^12 docs; verification only runs
+  on candidates;
+* everything is built-in expressions (codegen) except the embedding path
+  (Arrow pandas UDF, numpy-vectorized).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import words
+from ..functions.vectors import cosine, hyperplane_signature_udf
+
+__all__ = [
+    "dedup_exact",
+    "shingles",
+    "minhash_signature",
+    "lsh_candidate_pairs",
+    "jaccard",
+    "minhash_dedup_pairs",
+    "simhash",
+    "simhash_near_dup_pairs",
+    "ngram_jaccard_pairs",
+    "embedding_near_dup_pairs",
+]
+
+
+# ------------------------------------------------------------------ exact --
+def dedup_exact(
+    df: DataFrame, cols: Sequence[str] | None = None, tiebreak: str | None = None
+) -> DataFrame:
+    """Keep one row per distinct value of ``cols`` (default: all columns).
+
+    Hash-first: the shuffle key is a 64-bit xxhash of the dedup columns, so
+    a 100 TB text corpus shuffles ~16 B/row for candidate grouping; the
+    winner per group is the row with the smallest ``tiebreak`` (deterministic)
+    or an arbitrary first. Implemented as min_by over one hash-partitioned
+    aggregation — no window sort.
+    """
+    cols = list(cols) if cols else df.columns
+    digest = F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols])
+    if tiebreak is None:
+        tiebreak = cols[0]
+    packed = df.select(
+        digest.alias("__digest"), F.col(tiebreak).alias("__tb"), F.struct(*df.columns).alias("__row")
+    )
+    kept = packed.groupBy("__digest").agg(F.min_by("__row", F.col("__tb")).alias("__row"))
+    return kept.select("__row.*")
+
+
+# ---------------------------------------------------------------- minhash --
+def shingles(text: Column | str, k: int = 5) -> Column:
+    """Word k-gram shingle array (lowercased); docs shorter than k words
+    yield a single whole-doc shingle."""
+    ws = words(text)
+    n = F.size(ws)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(ws, i, k)),
+    )
+    return F.when(n > 0, grams).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signature(text: Column | str, num_hashes: int = 64, shingle_k: int = 5) -> Column:
+    """MinHash signature: array of ``num_hashes`` min-over-shingles of
+    seeded xxhash64. All codegen-able built-ins; NULL for shingle-less docs."""
+    sh = shingles(text, shingle_k)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda seed: F.array_min(F.transform(sh, lambda s: F.xxhash64(seed, s))),
+    )
+    return F.when(F.size(sh) > 0, sig)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    sig_col: str,
+    bands: int,
+    rows_per_band: int,
+) -> DataFrame:
+    """Band the signature, hash each band, equi-join docs sharing a band
+    bucket → candidate pairs (a < b). The join is the scale move: candidate
+    generation is linear in corpus size + bucket sizes, never all-pairs."""
+    banded = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    b.cast("string"),
+                    F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band)
+                    .cast("array<string>")
+                    .cast("string"),
+                ),
+            )
+        ).alias("__band", "__bucket"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.__band") == F.col("r.__band"))
+            & (F.col("l.__bucket") == F.col("r.__bucket"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard(a: Column | str, b: Column | str) -> Column:
+    """Exact Jaccard over two string arrays (distinct elements)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    da, db = F.array_distinct(a), F.array_distinct(b)
+    inter = F.size(F.array_intersect(da, db))
+    union = F.size(da) + F.size(db) - inter
+    return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(None))
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """End-to-end MinHash LSH near-dup: signature → band buckets → candidate
+    pairs → exact shingle-Jaccard verification ≥ threshold.
+    Returns (id_a, id_b, jaccard_sim)."""
+    rows_per_band = num_hashes // bands
+    sigs = df.select(
+        F.col(id_col), minhash_signature(text_col, num_hashes, shingle_k).alias("__sig")
+    ).filter(F.col("__sig").isNotNull())
+    cand = lsh_candidate_pairs(sigs, id_col, "__sig", bands, rows_per_band)
+    sh = df.select(
+        F.col(id_col), F.array_distinct(shingles(text_col, shingle_k)).alias("__sh")
+    )
+    return (
+        cand.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("__sh", "__sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("__sh", "__sh_b"), "id_b")
+        .withColumn("jaccard_sim", F.round(jaccard("__sh_a", "__sh_b"), 4))
+        .filter(F.col("jaccard_sim") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard_sim")
+    )
+
+
+# ---------------------------------------------------------------- simhash --
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per document, explode-based for scale: one shuffle on
+    ``id_col`` (map-side combine over words), bit votes as ``bits`` codegen'd
+    sum aggregates, fingerprint reassembled bitwise. Returns (id, simhash)."""
+    tok = df.select(F.col(id_col), F.explode(words(text_col)).alias("__w")).withColumn(
+        "__h", F.xxhash64("__w")
+    )
+    votes = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"__b{j}")
+            for j in range(bits)
+        ]
+    )
+    fp = None
+    for j in range(bits):
+        bit = F.when(F.col(f"__b{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, j)
+        fp = term if fp is None else fp.bitwiseXOR(term)  # disjoint bits: XOR == OR
+    return votes.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup via banded fingerprint (any identical 16-bit band →
+    candidate; guaranteed to catch all pairs with < ``bands`` differing bits)
+    then exact popcount(xor) ≤ max_hamming. Returns (id_a, id_b, hamming)."""
+    fps = simhash(df, id_col, text_col)
+    width = 64 // bands
+    mask = (1 << width) - 1
+    banded = fps.select(
+        F.col(id_col).alias("__id"),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), b * width).bitwiseAND(F.lit(mask))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__band", "__bucket"),
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.__band") == F.col("r.__band"))
+            & (F.col("l.__bucket") == F.col("r.__bucket"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)
+
+
+# ----------------------------------------------------- n-gram Jaccard ------
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exact word n-gram Jaccard for given candidate (id_a, id_b) pairs —
+    the verification kernel reusable behind any candidate generator."""
+    sh = df.select(F.col(id_col), F.array_distinct(shingles(text_col, n)).alias("__g"))
+    return (
+        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("__g", "__ga"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("__g", "__gb"), "id_b")
+        .select(
+            "id_a", "id_b", F.round(jaccard("__ga", "__gb"), 4).alias("jaccard_sim")
+        )
+    )
+
+
+# -------------------------------------------------- embedding near-dup -----
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    dim: int,
+    threshold: float = 0.95,
+    n_bits: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup: random-hyperplane LSH bucket (Arrow UDF) →
+    within-bucket pairs → exact cosine ≥ threshold. High-cosine pairs agree
+    on most hyperplane signs, so same-bucket candidacy catches near-dups;
+    recall/cost trades with ``n_bits``."""
+    sig = hyperplane_signature_udf(dim, n_bits, seed)
+    tagged = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")).withColumn(
+        "__bucket", sig(F.col("__v"))
+    )
+    l, r = tagged.alias("l"), tagged.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.__bucket") == F.col("r.__bucket")) & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            F.round(cosine(F.col("l.__v"), F.col("r.__v")), 4).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

@@ -1,0 +1,179 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+language identification, quality scoring, document fingerprinting.
+
+No reference analogue (the reference validates tabular frames only) — these
+are the large-scale corpus operators the task brief requires as first-class
+components. Everything here is a pure ``pyspark.sql.Column`` expression
+(whole-stage codegen, no Python in the hot path); table-level wrappers
+return annotated DataFrames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "words",
+    "token_count_whitespace",
+    "token_count_regex",
+    "language_id",
+    "quality_features",
+    "quality_score",
+    "fingerprint",
+    "analyze_text",
+]
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single non-alnum marks
+BPE_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# language marker sets (disjoint across languages; deterministic heuristic)
+_LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|and|of|to|is|was|with)\b",
+    "es": r"\b(el|los|las|que|una|por|como)\b",
+    "fr": r"\b(le|les|et|dans|une|pour|avec)\b",
+    "de": r"\b(der|die|das|und|ist|ein|nicht)\b",
+}
+_CJK = r"[一-鿿]"
+
+_STOPWORDS_RE = (
+    r"\b(the|a|an|and|or|of|to|in|is|it|that|for|on|as|with|was|at|by)\b"
+)
+
+# rolling-hash parameters: two independent 31-bit folds combined into one
+# 62-bit fingerprint. Each fold keeps acc < 2^31, so acc·base + h < 2^52 —
+# never overflows a long (ANSI mode, the Spark 4 default, aborts on overflow).
+_FP_MOD1 = 2147483647   # 2^31 - 1 (Mersenne)
+_FP_MOD2 = 2147483629   # prime < 2^31
+_FP_BASE1 = 1000003
+_FP_BASE2 = 999983
+
+
+def words(text: Column | str, lowercase: bool = True) -> Column:
+    """Whitespace word split (empty string → empty array, not [''])."""
+    c = F.col(text) if isinstance(text, str) else text
+    if lowercase:
+        c = F.lower(c)
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda w: w != "")
+
+
+def token_count_whitespace(text: Column | str) -> Column:
+    return F.size(words(text, lowercase=False))
+
+
+def token_count_regex(text: Column | str, pattern: str = BPE_REGEX) -> Column:
+    """BPE-ish token count via regexp_count — a cheap, deterministic proxy
+    for subword token budgets at corpus scale."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(pattern))
+
+
+def language_id(text: Column | str) -> Column:
+    """Marker-based language ID over {en, es, fr, de, zh}.
+
+    CJK characters short-circuit to ``zh``; otherwise the language with the
+    most marker-word hits wins; ties break to the lexicographically LARGEST
+    code (fr > es > en > de) via struct-max on (hits, code) — deterministic
+    and SQL-expressible. Returns 'und' when nothing matches.
+    """
+    c = F.lower(F.col(text) if isinstance(text, str) else text)
+    scored = F.array(
+        *[
+            F.struct(
+                F.regexp_count(c, F.lit(pat)).alias("hits"),
+                F.lit(code).alias("code"),
+            )
+            for code, pat in sorted(_LANG_MARKERS.items())
+        ]
+    )
+    best = F.array_max(scored)
+    return (
+        F.when(c.isNull(), F.lit(None))
+        .when(F.regexp_count(c, F.lit(_CJK)) > 0, F.lit("zh"))
+        .when(best["hits"] > 0, best["code"])
+        .otherwise(F.lit("und"))
+    )
+
+
+def quality_features(text: Column | str) -> dict[str, Column]:
+    """Deterministic quality signals (length / punctuation / stopword ratios)."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_chars = F.length(c)
+    ws = words(c)
+    n_words = F.size(ws)
+    safe_words = F.greatest(n_words, F.lit(1))
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "mean_word_len": (
+            F.aggregate(ws, F.lit(0), lambda acc, w: acc + F.length(w)).cast("double")
+            / safe_words
+        ),
+        "stopword_ratio": F.regexp_count(F.lower(c), F.lit(_STOPWORDS_RE)).cast("double")
+        / safe_words,
+        "punct_ratio": F.regexp_count(c, F.lit(r"[^A-Za-z0-9\s]")).cast("double")
+        / safe_chars,
+        "upper_ratio": F.regexp_count(c, F.lit(r"[A-Z]")).cast("double") / safe_chars,
+        "digit_ratio": F.regexp_count(c, F.lit(r"[0-9]")).cast("double") / safe_chars,
+    }
+
+
+def quality_score(text: Column | str) -> Column:
+    """Blend of quality signals → [0, 1]. Heuristic but deterministic:
+    rewards natural word length (3-8 chars), presence of stopwords, and
+    penalizes punctuation/digit/upper saturation and extreme shortness."""
+    f = quality_features(text)
+    len_ok = F.when(
+        (f["mean_word_len"] >= 3.0) & (f["mean_word_len"] <= 8.0), F.lit(1.0)
+    ).otherwise(F.lit(0.4))
+    short_pen = F.when(f["n_words"] >= 20, F.lit(1.0)).otherwise(
+        f["n_words"].cast("double") / 20.0
+    )
+    stop_ok = F.least(f["stopword_ratio"] * 4.0, F.lit(1.0))
+    noise = F.greatest(
+        F.lit(0.0), F.lit(1.0) - (f["punct_ratio"] + f["digit_ratio"]) * 2.0
+    )
+    score = 0.3 * len_ok + 0.25 * short_pen + 0.2 * stop_ok + 0.25 * noise
+    return F.round(score, 4)
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Order-sensitive rolling polynomial hash over lowercased words
+    (Karp-Rabin style): two independent 31-bit folds packed into a 62-bit
+    fingerprint. Identical word sequences collide; any edit almost surely
+    does not (collision odds ~2^-62 per pair)."""
+    ws = words(text)
+    folded = F.aggregate(
+        ws,
+        F.struct(F.lit(0).cast("long").alias("a"), F.lit(0).cast("long").alias("b")),
+        lambda acc, w: F.struct(
+            F.pmod(
+                acc["a"] * F.lit(_FP_BASE1) + F.pmod(F.xxhash64(w), F.lit(_FP_MOD1)),
+                F.lit(_FP_MOD1),
+            ).alias("a"),
+            F.pmod(
+                acc["b"] * F.lit(_FP_BASE2) + F.pmod(F.xxhash64(F.lit(1), w), F.lit(_FP_MOD2)),
+                F.lit(_FP_MOD2),
+            ).alias("b"),
+        ),
+    )
+    return F.shiftleft(folded["a"], 31).bitwiseXOR(folded["b"])
+
+
+def analyze_text(
+    df: DataFrame, text_col: str = "text", prefix: str = ""
+) -> DataFrame:
+    """Annotate a corpus with all text signals in one codegen pass."""
+    feats = quality_features(text_col)
+    return df.select(
+        "*",
+        feats["n_words"].alias(f"{prefix}n_words"),
+        token_count_regex(text_col).alias(f"{prefix}n_tokens_bpe"),
+        feats["mean_word_len"].alias(f"{prefix}mean_word_len"),
+        feats["stopword_ratio"].alias(f"{prefix}stopword_ratio"),
+        feats["punct_ratio"].alias(f"{prefix}punct_ratio"),
+        language_id(text_col).alias(f"{prefix}lang_pred"),
+        quality_score(text_col).alias(f"{prefix}quality"),
+        fingerprint(text_col).alias(f"{prefix}fingerprint"),
+    )

@@ -356,6 +356,246 @@ SELECT 'table__big_order_discounted',
 """
 
 
+# ---------------------------------------------------------------------------
+# batch 2: text analysis / dedup / similarity / window operators
+
+
+def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import token_count_regex, token_count_whitespace
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.sum(token_count_whitespace("text")).alias("ws_tokens"),
+            F.sum(token_count_regex("text")).alias("bpe_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+_SQL_TEXT_TOKEN_COUNTS = r"""
+SELECT lang,
+       CAST(sum(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))) AS BIGINT) AS ws_tokens,
+       CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS bpe_tokens
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def q_text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import quality_features
+
+    d = _t(spark, sf_dir, "documents")
+    f = quality_features(F.col("text"))
+    return (
+        d.select("source", f["mean_word_len"].alias("mwl"), f["punct_ratio"].alias("pr"))
+        .groupBy("source")
+        .agg(
+            F.round(F.avg("mwl"), 4).alias("mean_word_len"),
+            F.round(F.avg("pr"), 4).alias("punct_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_TEXT_QUALITY_BY_SOURCE = r"""
+WITH w AS (
+  SELECT source,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws,
+         text
+  FROM documents
+)
+SELECT source,
+       round(avg(CAST(list_aggregate(list_transform(ws, x -> length(x)), 'sum') AS DOUBLE)
+                 / greatest(len(ws), 1)), 4) AS mean_word_len,
+       round(avg(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+                 / greatest(length(text), 1)), 4) AS punct_ratio
+FROM w GROUP BY source ORDER BY source
+"""
+
+
+def q_langid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import language_id
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy(language_id("text").alias("lang_pred"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang_pred")
+    )
+
+
+_SQL_LANGID_DOCUMENTS = r"""
+WITH hits AS (
+  SELECT CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|was|with)\b')) AS BIGINT) AS he,
+         CAST(len(regexp_extract_all(lower(text), '\b(el|los|las|que|una|por|como)\b')) AS BIGINT) AS hs,
+         CAST(len(regexp_extract_all(lower(text), '\b(le|les|et|dans|une|pour|avec)\b')) AS BIGINT) AS hf,
+         CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|ein|nicht)\b')) AS BIGINT) AS hd,
+         len(regexp_extract_all(text, '[一-鿿]')) AS zh
+  FROM documents
+),
+p AS (
+  SELECT CASE WHEN zh > 0 THEN 'zh'
+              WHEN greatest(he, hs, hf, hd) = 0 THEN 'und'
+              WHEN hf >= he AND hf >= hs AND hf >= hd THEN 'fr'
+              WHEN hs >= he AND hs >= hd THEN 'es'
+              WHEN he >= hd THEN 'en'
+              ELSE 'de' END AS lang_pred
+  FROM hits
+)
+SELECT lang_pred, count(*) AS n FROM p GROUP BY lang_pred ORDER BY lang_pred
+"""
+
+
+def q_dedup_exact_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import dedup_exact
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        dedup_exact(d, ["text"], tiebreak="doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("source")
+    )
+
+
+_SQL_DEDUP_EXACT_BY_SOURCE = """
+WITH w AS (SELECT min(doc_id) AS k FROM documents GROUP BY text)
+SELECT d.source, count(*) AS n_kept
+FROM documents d JOIN w ON d.doc_id = w.k
+GROUP BY d.source ORDER BY d.source
+"""
+
+
+def q_minhash_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash construction parity: 4 md5-based min-over-shingle hashes per
+    doc (md5 is the shared hash DuckDB and Spark both implement; the engine's
+    production path uses xxhash64 — same algorithm, faster hash)."""
+    from .operators.dedup import shingles
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    sh = shingles(F.col("text"), 5)
+
+    def seeded(seed: int):
+        # single-arg lambda: a two-arg lambda would receive the element INDEX
+        # as its second argument (F.transform arity dispatch)
+        return lambda s: F.md5(F.concat(F.lit(str(seed)), s))
+
+    cols = [F.array_min(F.transform(sh, seeded(i))).alias(f"sig{i}") for i in range(4)]
+    return d.select("doc_id", *cols).orderBy("doc_id")
+
+
+_SQL_MINHASH_PARITY = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+  FROM documents WHERE doc_id < 50
+),
+sh AS (
+  SELECT doc_id,
+         array_to_string(list_slice(ws, i, i + 4), ' ') AS s
+  FROM w, unnest(generate_series(1, greatest(len(ws) - 4, 1))) AS t(i)
+  WHERE len(ws) > 0
+)
+SELECT doc_id,
+       min(md5('0' || s)) AS sig0,
+       min(md5('1' || s)) AS sig1,
+       min(md5('2' || s)) AS sig2,
+       min(md5('3' || s)) AS sig3
+FROM sh GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return brute_force_topk(emb, q, k=5)
+
+
+_SQL_EMBEDDING_TOPK = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+u AS (
+  SELECT e.vec_id,
+         CAST(unnest(e.embedding) AS DOUBLE) AS x,
+         CAST(unnest(q.qe) AS DOUBLE) AS y
+  FROM embeddings e, q
+),
+s AS (
+  SELECT vec_id,
+         sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS sim
+  FROM u GROUP BY vec_id
+)
+SELECT vec_id, round(sim, 4) AS cosine_sim
+FROM s ORDER BY sim DESC, vec_id ASC LIMIT 5
+"""
+
+
+def q_sessionization_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function operator: session counts with a 30-min inactivity gap
+    (lag + conditional sum — the sessionization pattern)."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.withColumn("prev", F.lag("ts").over(w)).withColumn(
+        "new_session",
+        (
+            F.col("prev").isNull()
+            | (F.unix_timestamp("ts") - F.unix_timestamp("prev") > 1800)
+        ).cast("long"),
+    )
+    per_user = gaps.groupBy("user_id").agg(F.sum("new_session").alias("n_sessions"))
+    return per_user.agg(
+        F.sum("n_sessions").alias("total_sessions"),
+        F.count(F.lit(1)).alias("n_users"),
+        F.max("n_sessions").alias("max_sessions"),
+    )
+
+
+_SQL_SESSIONIZATION_EVENTS = """
+WITH x AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+s AS (
+  SELECT user_id,
+         sum(CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800
+                  THEN 1 ELSE 0 END) AS n_sessions
+  FROM x GROUP BY user_id
+)
+SELECT CAST(sum(n_sessions) AS BIGINT) AS total_sessions,
+       count(*) AS n_users,
+       CAST(max(n_sessions) AS BIGINT) AS max_sessions
+FROM s
+"""
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (no SQL oracle): LSH-bucketed approximate nearest neighbors —
+    the result depends on the seeded hyperplanes, which SQL cannot replay."""
+    from .operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return lsh_topk(emb, q, k=5, n_bits=8, multiprobe=2)
+
+
+def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: end-to-end MinHash-LSH near-dup pairs on documents (engine
+    path with xxhash64 signatures + banded join + exact Jaccard verify)."""
+    from .operators.dedup import minhash_dedup_pairs
+
+    # capped so the bench at sf0.1 stays O(sf0.01): the full-corpus path is
+    # exercised by the correctness gate at sf0.01 (5k docs ≡ the cap)
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 5000)
+    return minhash_dedup_pairs(
+        d, "doc_id", "text", num_hashes=32, bands=16, jaccard_threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "check_nulls_lineitem": (q_check_nulls_lineitem, _SQL_NULLS_LINEITEM),
     "check_ranges_lineitem": (q_check_ranges_lineitem, _SQL_RANGES_LINEITEM),
@@ -370,6 +610,15 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "topk_event_types": (q_topk_event_types, _SQL_TOPK_EVENT_TYPES),
     "duplicate_rows_documents": (q_duplicate_rows_documents, _SQL_DUPLICATE_ROWS_DOCUMENTS),
     "psi_documents_nchars": (q_psi_documents_nchars, _SQL_PSI_DOCUMENTS_NCHARS),
+    "text_token_counts": (q_text_token_counts, _SQL_TEXT_TOKEN_COUNTS),
+    "text_quality_by_source": (q_text_quality_by_source, _SQL_TEXT_QUALITY_BY_SOURCE),
+    "langid_documents": (q_langid_documents, _SQL_LANGID_DOCUMENTS),
+    "dedup_exact_by_source": (q_dedup_exact_by_source, _SQL_DEDUP_EXACT_BY_SOURCE),
+    "minhash_parity": (q_minhash_parity, _SQL_MINHASH_PARITY),
+    "embedding_topk": (q_embedding_topk, _SQL_EMBEDDING_TOPK),
+    "sessionization_events": (q_sessionization_events, _SQL_SESSIONIZATION_EVENTS),
+    "ann_lsh_topk": (q_ann_lsh_topk, None),
+    "minhash_near_dup": (q_minhash_near_dup, None),
 }
 
 

@@ -38,6 +38,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("PUV_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        # throughput GC: G1 (the JVM default) collapses under 32 allocation-
+        # heavy executor threads in one JVM (array-column decode + HOFs were
+        # 4-6x slower at local[32] than local[8]); ParallelGC restores linear
+        # scaling for this batch-analytics profile.
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():

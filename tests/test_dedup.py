@@ -1,0 +1,140 @@
+"""Dedup + similarity operator tests: exact, MinHash LSH, SimHash, n-gram
+Jaccard, embedding near-dup, brute-force/LSH/IVF top-k."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandera_unified_validator_spark.operators.dedup import (
+    dedup_exact,
+    embedding_near_dup_pairs,
+    jaccard,
+    minhash_dedup_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash,
+    simhash_near_dup_pairs,
+)
+from pandera_unified_validator_spark.operators.similarity import (
+    IvfIndex,
+    brute_force_topk,
+    lsh_topk,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the sun sets slowly "
+    "behind the quiet green hills and the river runs cold through the valley"
+)
+NEAR = BASE.replace("cold", "warm")  # one-word edit → high jaccard
+OTHER = (
+    "completely different text about spark dataframes shuffles partitions "
+    "catalyst optimizer and adaptive query execution in distributed systems"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(1, BASE), (2, NEAR), (3, OTHER), (4, BASE), (5, "tiny doc")]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_dedup_exact(spark, corpus):
+    out = dedup_exact(corpus, ["text"], tiebreak="doc_id")
+    assert out.count() == 4  # 1 and 4 collapse
+    kept = {r["doc_id"] for r in out.collect()}
+    assert 1 in kept and 4 not in kept  # deterministic min tiebreak
+
+
+def test_shingles_and_jaccard(spark):
+    df = spark.createDataFrame([("a b c d e", "a b c d x")], "x string, y string")
+    row = df.select(
+        F.size(shingles("x", 3)).alias("n"),
+        F.round(jaccard(shingles("x", 3), shingles("y", 3)), 4).alias("j"),
+    ).collect()[0]
+    assert row["n"] == 3  # 5 words → 3 trigrams
+    # trigrams x: {abc,bcd,cde}, y: {abc,bcd,cdx} → 2/4
+    assert row["j"] == 0.5
+    short = spark.createDataFrame([("a b",)], "x string")
+    assert short.select(F.size(shingles("x", 5)).alias("n")).collect()[0]["n"] == 1
+
+
+def test_minhash_signature_similarity(spark, corpus):
+    sig = corpus.select("doc_id", minhash_signature("text", 32, 5).alias("s")).collect()
+    by = {r["doc_id"]: r["s"] for r in sig}
+    assert by[1] == by[4]  # identical docs → identical signature
+    agree_near = sum(a == b for a, b in zip(by[1], by[2]))
+    agree_far = sum(a == b for a, b in zip(by[1], by[3]))
+    assert agree_near > agree_far  # signature agreement tracks jaccard
+
+
+def test_minhash_dedup_pairs(spark, corpus):
+    pairs = minhash_dedup_pairs(
+        corpus, "doc_id", "text", num_hashes=32, bands=16, jaccard_threshold=0.5
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard_sim"] for r in pairs}
+    assert got[(1, 4)] == 1.0
+    assert (1, 2) in got and got[(1, 2)] >= 0.5
+    assert not any(3 in p for p in got)  # OTHER matches nothing
+
+
+def test_simhash_and_near_dup(spark, corpus):
+    fps = {r["doc_id"]: r["simhash"] for r in simhash(corpus).collect()}
+    assert fps[1] == fps[4]
+    ham_near = bin(fps[1] ^ fps[2]).count("1")
+    ham_far = bin(fps[1] ^ fps[3]).count("1")
+    assert ham_near < ham_far
+    pairs = simhash_near_dup_pairs(corpus, max_hamming=ham_near).collect()
+    keys = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 4) in keys and (1, 2) in keys
+
+
+def test_ngram_jaccard_pairs(spark, corpus):
+    cand = spark.createDataFrame([(1, 2), (1, 3)], "id_a int, id_b int")
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard_sim"]
+        for r in ngram_jaccard_pairs(corpus, cand, n=3).collect()
+    }
+    assert out[(1, 2)] > 0.7 > out[(1, 3)]
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_brute_force_topk(spark, embeddings):
+    q = embeddings.filter("vec_id = 0").collect()[0]["embedding"]
+    top = brute_force_topk(embeddings, q, k=5).collect()
+    assert top[0]["vec_id"] == 0 and top[0]["cosine_sim"] == pytest.approx(1.0)
+    sims = [r["cosine_sim"] for r in top]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_topk_recall(spark, embeddings):
+    q = embeddings.filter("vec_id = 0").collect()[0]["embedding"]
+    exact = [r["vec_id"] for r in brute_force_topk(embeddings, q, k=5).collect()]
+    approx = [
+        r["vec_id"]
+        for r in lsh_topk(embeddings, q, k=5, n_bits=8, multiprobe=2).collect()
+    ]
+    assert approx[0] == 0  # the query itself always lands in its own bucket
+    assert len(set(exact) & set(approx)) >= 2  # decent recall on 500 vecs
+
+
+def test_ivf_index(spark, embeddings):
+    idx = IvfIndex(embeddings, n_lists=8, sample_rows=256)
+    q = embeddings.filter("vec_id = 7").collect()[0]["embedding"]
+    got = idx.search(q, k=3, n_probe=3).collect()
+    assert got[0]["vec_id"] == 7 and got[0]["cosine_sim"] == pytest.approx(1.0)
+
+
+def test_embedding_near_dup(spark, embeddings):
+    # duplicate a few vectors under new ids → must be found as near-dups
+    dup = embeddings.filter("vec_id < 3").withColumn(
+        "vec_id", F.col("vec_id") + 10000
+    )
+    pairs = embedding_near_dup_pairs(
+        embeddings.unionAll(dup), dim=64, threshold=0.999, n_bits=8
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert {(0, 10000), (1, 10001), (2, 10002)} <= found

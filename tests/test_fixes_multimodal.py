@@ -1,0 +1,101 @@
+"""Auto-fix (F1-F4) and multimodal-plumbing tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandera_unified_validator_spark import SchemaBuilder, SparkValidator
+from pandera_unified_validator_spark.operators.fixes import apply_fixes, suggest_fixes
+from pandera_unified_validator_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    decode_image_features,
+    media_table_schema,
+    resize_images,
+    sample_video_frames,
+)
+
+
+def test_fix_missing_column_and_coercion(spark):
+    df = spark.createDataFrame([("1", "x")], "id string, name string")
+    schema = (
+        SchemaBuilder("t")
+        .column("id", "int")          # dtype mismatch → coerce suggestion
+        .column("name", "str")
+        .column("score", "float")     # missing → add-column suggestion
+        .build()
+    )
+    v = SparkValidator(schema)
+    rep = v.validate(df).report
+    sugg = suggest_fixes(rep, schema)
+    kinds = {s.kind for s in sugg}
+    assert kinds == {"add_missing_column", "coerce_type"}
+    fixed = apply_fixes(df, sugg)
+    rep2 = v.validate(fixed).report
+    assert rep2.is_valid, rep2.errors
+    row = fixed.collect()[0]
+    assert row["id"] == 1 and row["score"] is None
+
+
+def test_fix_clamp_range(spark):
+    df = spark.createDataFrame([(5,), (500,), (-3,)], "x int")
+    schema = SchemaBuilder("t").column("x", "int", ge=0, le=100).build()
+    v = SparkValidator(schema)
+    rep = v.validate(df).report
+    sugg = [s for s in suggest_fixes(rep, schema) if s.kind == "clamp_range"]
+    assert sugg
+    fixed = apply_fixes(df, sugg[:1])
+    assert v.validate(fixed).report.is_valid
+    assert {r["x"] for r in fixed.collect()} == {5, 100, 0}
+
+
+@pytest.fixture()
+def media(spark):
+    rows = [
+        ("m1", "image", "image/png", 640, 480, None, b"\x89PNGfake1"),
+        ("m2", "image", "image/png", 32, 32, None, b"\x89PNGfake2"),
+        ("m3", "video", "video/mp4", 1920, 1080, 3500, b"mp4fake"),
+        ("m4", "audio", "audio/wav", None, None, 2000, b"wavfake"),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_media_schema_validates(spark, media):
+    rep = SparkValidator(media_table_schema()).validate(media).report
+    assert rep.is_valid, rep.to_console()
+    # breaking the conditional: a video without duration must fail
+    bad = media.withColumn(
+        "duration_ms", F.when(F.col("kind") == "video", None).otherwise(F.col("duration_ms"))
+    )
+    rep2 = SparkValidator(media_table_schema()).validate(bad).report
+    by = {c.name: c.n_failed for c in rep2.checks}
+    assert by["table__video_has_duration"] == 1
+
+
+def test_decode_stub_is_deterministic(spark, media):
+    a = decode_image_features(media, dim=16, fake=True).collect()
+    b = decode_image_features(media, dim=16, fake=True).collect()
+    fa = {r["media_id"]: r["features"] for r in a}
+    fb = {r["media_id"]: r["features"] for r in b}
+    assert fa == fb
+    assert len(fa["m1"]) == 16 and fa["m1"] != fa["m2"]
+    assert all(0.0 <= x <= 1.0 for x in fa["m1"])
+
+
+def test_decode_without_library_raises(spark, media):
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow available in this env")
+    except ImportError:
+        pass
+    with pytest.raises(Exception) as ei:
+        decode_image_features(media, fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or "Pillow" in str(ei.value)
+
+
+def test_resize_and_frame_sampling_stubs(spark, media):
+    resized = resize_images(media, 224, 224, fake=True)
+    assert {(r["width"], r["height"]) for r in resized.collect()} == {(224, 224)}
+    frames = sample_video_frames(media, every_ms=1000, fake=True).collect()
+    # m3 is 3500 ms → frames at 0,1000,2000,3000
+    assert [r["ts_ms"] for r in frames] == [0, 1000, 2000, 3000]
+    assert all(r["media_id"] == "m3" and r["frame"] is not None for r in frames)

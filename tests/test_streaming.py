@@ -1,0 +1,198 @@
+"""Partition-group runner, checkpoint/resume, early termination, Structured
+Streaming, and source readers — Spark analogue of reference
+tests/test_core/test_streaming.py (FIXTURES.md F4)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandera_unified_validator_spark import SchemaBuilder, SparkValidator
+from pandera_unified_validator_spark.sources.readers import (
+    CORRUPT_COL,
+    from_records,
+    read_csv,
+    read_jsonl,
+    with_cast_violations,
+)
+from pandera_unified_validator_spark.streaming.runner import (
+    PartitionedValidationRunner,
+)
+from pandera_unified_validator_spark.streaming.structured import validate_stream
+from pandera_unified_validator_spark.tokens import token_table, token_schema, source_dim
+
+
+def stream_schema():
+    # F4: id ge=1, name not-null, value ge=0
+    return (
+        SchemaBuilder("stream_rows")
+        .column("id", "int", ge=1)
+        .column("name", "str", nullable=False)
+        .column("value", "float", ge=0.0)
+        .build()
+    )
+
+
+@pytest.fixture()
+def parquet_dir(spark, tmp_path):
+    # 12 files, file i has 10 rows; files 8+ are fully invalid (value=-1)
+    p = str(tmp_path / "rows")
+    for i in range(12):
+        rows = [
+            (j + 1, f"n{j}", -1.0 if i >= 8 else float(j)) for j in range(10)
+        ]
+        spark.createDataFrame(rows, "id int, name string, value double").coalesce(
+            1
+        ).write.mode("append").parquet(p)
+    return p
+
+
+def test_group_loop_all_valid_until_breaker(spark, parquet_dir):
+    runner = PartitionedValidationRunner(
+        SparkValidator(stream_schema()), error_threshold=0.05, files_per_group=2
+    )
+    res = runner.run(spark, parquet_dir)
+    # 12 files sorted by name; the 4 dirty files' position is deterministic
+    assert res.metrics.early_terminated
+    assert res.metrics.invalid_rows > 0
+    assert not res.is_valid
+    assert res.metrics.chunks_processed == len(res.groups)
+
+
+def test_group_loop_clean(spark, tmp_path):
+    p = str(tmp_path / "clean")
+    spark.createDataFrame(
+        [(i + 1, f"n{i}", float(i)) for i in range(40)],
+        "id int, name string, value double",
+    ).repartition(4).write.parquet(p)
+    runner = PartitionedValidationRunner(
+        SparkValidator(stream_schema()), error_threshold=0.05, files_per_group=2
+    )
+    res = runner.run(spark, p)
+    assert res.is_valid and not res.metrics.early_terminated
+    assert res.metrics.total_rows == 40
+
+
+def test_progress_callback(spark, tmp_path):
+    p = str(tmp_path / "cb")
+    spark.createDataFrame(
+        [(1, "a", 1.0)], "id int, name string, value double"
+    ).write.parquet(p)
+    calls = []
+    runner = PartitionedValidationRunner(
+        SparkValidator(stream_schema()),
+        progress_callback=lambda i, n, m: calls.append((i, n, m.total_rows)),
+    )
+    runner.run(spark, p)
+    assert calls and calls[-1][0] == calls[-1][1]
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    p = str(tmp_path / "resume")
+    for i in range(6):
+        spark.createDataFrame(
+            [(j + 1, f"n{j}", float(j)) for j in range(5)],
+            "id int, name string, value double",
+        ).coalesce(1).write.mode("append").parquet(p)
+    ckpt = str(tmp_path / "ckpt")
+    runner = PartitionedValidationRunner(
+        SparkValidator(stream_schema()),
+        checkpoint_dir=ckpt,
+        files_per_group=2,
+        error_threshold=None,
+    )
+    res1 = runner.run(spark, p)
+    assert res1.metrics.total_rows == 30
+    lineage = sorted(os.listdir(ckpt))
+    assert len(lineage) == 3  # one JSON record per group
+    # resume: all groups load from lineage, zero Spark jobs re-run
+    res2 = runner.run(spark, p)
+    assert res2.metrics.total_rows == 30
+    assert all(g.resumed for g in res2.groups)
+    # corrupt one record → only that group re-validates
+    victim = os.path.join(ckpt, lineage[0])
+    with open(victim, "w") as f:
+        f.write("{torn")
+    res3 = runner.run(spark, p)
+    assert [g.resumed for g in sorted(res3.groups, key=lambda g: g.group_id)] == [
+        False,
+        True,
+        True,
+    ]
+    with open(victim) as f:
+        json.load(f)  # rewritten atomically and valid again
+
+
+def test_structured_streaming_foreachbatch(spark, tmp_path):
+    src = str(tmp_path / "stream_src")
+    spark.createDataFrame(
+        [(1, "a", 1.0), (-5, "b", 2.0), (3, None, -9.0)],
+        "id int, name string, value double",
+    ).write.parquet(src)
+    stream = spark.readStream.schema("id int, name string, value double").parquet(src)
+    q, sink = validate_stream(
+        stream,
+        SparkValidator(stream_schema()),
+        violations_path=str(tmp_path / "quarantine"),
+        checkpoint_location=str(tmp_path / "ss_ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert sink.metrics.total_rows == 3
+    assert sink.metrics.invalid_rows == 2
+    quarantined = spark.read.parquet(str(tmp_path / "quarantine"))
+    got = {r["id"]: r["failed_checks"] for r in quarantined.collect()}
+    assert got[-5] == "id__ge"
+    assert got[3] == "name__not_null,value__ge"
+
+
+def test_read_csv_corrupt_records(spark, tmp_path):
+    f = tmp_path / "x.csv"
+    f.write_text("id,name,value\n1,a,2.0\nnot,valid,row,extra\n2,b,3.0\n")
+    df = read_csv(spark, str(f), stream_schema())
+    # Spark disallows plans referencing ONLY the corrupt column — always
+    # project data columns alongside it (see readers.py docstring)
+    rows = df.select("id", "name", "value", CORRUPT_COL).collect()
+    bad = [r for r in rows if r[CORRUPT_COL] is not None]
+    assert len(bad) == 1 and "extra" in bad[0][CORRUPT_COL]
+    assert sum(r[CORRUPT_COL] is None for r in rows) == 2
+
+
+def test_read_jsonl_corrupt_records(spark, tmp_path):
+    f = tmp_path / "x.jsonl"
+    f.write_text('{"id": 1, "name": "a", "value": 2.0}\n{broken json\n')
+    df = read_jsonl(spark, str(f), stream_schema())
+    rows = df.select("id", CORRUPT_COL).collect()
+    assert sum(r[CORRUPT_COL] is not None for r in rows) == 1
+    ok = [r for r in rows if r[CORRUPT_COL] is None]
+    assert ok[0]["id"] == 1
+
+
+def test_from_records_and_cast_strictness(spark):
+    df = from_records(spark, [{"id": "7", "name": "a"}, {"id": "oops", "name": "b"}])
+    schema = SchemaBuilder("t").column("id", "int").column("name", "str").build()
+    casted, flags = with_cast_violations(df, schema)
+    assert flags == ["id__cast_ok", "name__cast_ok"]
+    rows = {r["name"]: (r["id"], r["id__cast_ok"]) for r in casted.collect()}
+    assert rows["a"] == (7, True)
+    assert rows["b"] == (None, False)  # Pydantic-strict: "oops" is not an int
+
+
+def test_token_table_group_runner_end_to_end(spark, tmp_path):
+    # the north-star loop: token table → parquet → group validation + resume
+    p = str(tmp_path / "tok")
+    token_table(spark, 2000, dirty=True, num_partitions=4).write.parquet(p)
+    runner = PartitionedValidationRunner(
+        SparkValidator(token_schema(), ref_checks={"source": source_dim(spark)}),
+        checkpoint_dir=str(tmp_path / "tok_ckpt"),
+        files_per_group=1,
+        error_threshold=None,
+    )
+    res = runner.run(spark, p)
+    assert res.metrics.total_rows == 2000
+    assert res.metrics.invalid_rows > 0
+    assert "n_tok__le" in dict(res.metrics.top_errors())
+    res2 = runner.run(spark, p)
+    assert all(g.resumed for g in res2.groups)
+    assert res2.metrics.invalid_rows == res.metrics.invalid_rows

@@ -1,0 +1,93 @@
+"""Text-analysis operator tests (token counting, language ID, quality,
+fingerprint) — against the real documents table + literal frames."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandera_unified_validator_spark.operators.text import (
+    analyze_text,
+    fingerprint,
+    language_id,
+    quality_score,
+    token_count_regex,
+    token_count_whitespace,
+    words,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [("hello world foo",), ("  spaced   out  ",), ("",), (None,)], "t string"
+    )
+    rows = df.select(
+        token_count_whitespace("t").alias("ws"), token_count_regex("t").alias("bpe")
+    ).collect()
+    assert [r["ws"] for r in rows] == [3, 2, 0, None]
+    # BPE-ish: "hello","world","foo"
+    assert rows[0]["bpe"] == 3
+
+
+def test_token_count_regex_splits_mixed(spark):
+    df = spark.createDataFrame([("abc123, def!",)], "t string")
+    # abc | 123 | , | def | ! → 5
+    assert df.select(token_count_regex("t").alias("n")).collect()[0]["n"] == 5
+
+
+def test_language_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog is here", "en"),
+            ("el perro que corre por la casa como siempre", "es"),
+            ("le chat est dans la maison pour une nuit avec", "fr"),
+            ("der hund und die katze ist ein tier nicht", "de"),
+            ("这是一个中文句子", "zh"),
+            ("zzz qqq xxx", "und"),
+        ],
+        "t string, expected string",
+    )
+    rows = df.select("expected", language_id("t").alias("got")).collect()
+    for r in rows:
+        assert r["got"] == r["expected"], r
+
+
+def test_quality_score_orders_sensibly(spark):
+    good = "the quick brown fox jumps over the lazy dog and runs far away into the quiet woods tonight again"
+    bad = "@@@ ### 111 222 !!!"
+    df = spark.createDataFrame([(good,), (bad,)], "t string")
+    rows = df.select(quality_score("t").alias("q")).collect()
+    assert rows[0]["q"] > rows[1]["q"]
+    assert 0.0 <= rows[1]["q"] <= rows[0]["q"] <= 1.0
+
+
+def test_fingerprint_properties(spark):
+    df = spark.createDataFrame(
+        [("a b c",), ("a b c",), ("A  B   c",), ("c b a",), ("a b d",)], "t string"
+    )
+    fps = [r[0] for r in df.select(fingerprint("t")).collect()]
+    assert fps[0] == fps[1]          # identical text
+    assert fps[0] == fps[2]          # case/whitespace-normalized
+    assert fps[0] != fps[3]          # order-sensitive
+    assert fps[0] != fps[4]          # content-sensitive
+
+
+def test_analyze_text_on_documents(spark, docs):
+    out = analyze_text(docs, "text")
+    row = out.filter(F.col("doc_id") == 0).collect()[0]
+    assert row["n_words"] > 0
+    assert row["n_tokens_bpe"] >= row["n_words"]
+    assert 0.0 <= row["quality"] <= 1.0
+    assert row["lang_pred"] is not None
+    # n_chars column in the table must equal length(text) — sanity vs corpus
+    bad = out.filter(F.length("text") != F.col("n_chars")).count()
+    assert bad == 0
+
+
+def test_words_null_and_empty(spark):
+    df = spark.createDataFrame([(None,), ("",), ("  ",)], "t string")
+    rows = df.select(F.size(words("t")).alias("n")).collect()
+    assert [r["n"] for r in rows] == [None, 0, 0]
