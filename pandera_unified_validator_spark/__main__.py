@@ -1,0 +1,131 @@
+"""CLI — ``python -m pandera_unified_validator_spark <cmd>``.
+
+Mirrors the reference's ``puv validate|profile|schema`` console entry
+(reference ``__main__.py:54-346``), Spark-backed and with its bugs fixed:
+no ``eval()`` on dtype strings (schema JSON round-trips through the typed
+loader), and ``profile`` actually works (the reference called nonexistent
+``profiler.profile(minimal=)`` / ``to_html`` — SURVEY.md §3.4).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _read_any(spark, path: str, fmt: str | None):
+    from .sources.readers import read_csv, read_jsonl, read_parquet
+
+    fmt = fmt or (
+        "csv" if path.endswith(".csv")
+        else "jsonl" if path.endswith((".jsonl", ".json"))
+        else "parquet"
+    )
+    if fmt == "csv":
+        return read_csv(spark, path, header=True, inferSchema=True)
+    if fmt == "jsonl":
+        return read_jsonl(spark, path)
+    return read_parquet(spark, path)
+
+
+def cmd_validate(args) -> int:
+    from . import SparkValidator, ValidationSchema
+    from .session import get_spark
+
+    with open(args.schema) as f:
+        schema = ValidationSchema.from_json(f.read())
+    spark = get_spark("puv-cli")
+    df = _read_any(spark, args.data, args.format)
+    res = SparkValidator(
+        schema,
+        key_columns=tuple(args.key.split(",")) if args.key else (),
+        collect_samples=True,
+    ).validate(df)
+    res.report.to_console(verbose=args.verbose)
+    if args.output:
+        if args.output.endswith(".html"):
+            res.report.to_html(args.output)
+        else:
+            res.report.to_json(args.output)
+        print(f"report written to {args.output}")
+    if args.violations and not res.is_valid:
+        from pyspark.sql import functions as F
+
+        res.violations().withColumn(
+            "failed_checks", F.concat_ws(",", F.array_sort("failed_checks"))
+        ).write.mode("overwrite").parquet(args.violations)
+        print(f"violation rows written to {args.violations}")
+    return 0 if res.is_valid else 1
+
+
+def cmd_profile(args) -> int:
+    from .operators.profiler import DataProfiler
+    from .session import get_spark
+
+    spark = get_spark("puv-cli")
+    df = _read_any(spark, args.data, args.format)
+    rep = DataProfiler(exact=args.exact).profile(df)
+    out = json.dumps(rep.to_dict(), indent=2, default=str)
+    if args.output:
+        with open(args.output, "w") as f:
+            f.write(out)
+        print(f"profile written to {args.output}")
+    else:
+        print(out)
+    return 0
+
+
+def cmd_schema(args) -> int:
+    """Infer a schema from data (reference ``puv schema``)."""
+    from .operators.profiler import DataProfiler
+    from .session import get_spark
+
+    spark = get_spark("puv-cli")
+    df = _read_any(spark, args.data, args.format)
+    schema = DataProfiler(exact=args.exact).profile(df).suggested_schema()
+    out = schema.to_json()
+    if args.output:
+        with open(args.output, "w") as f:
+            f.write(out)
+        print(f"schema written to {args.output}")
+    else:
+        print(out)
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="pandera_unified_validator_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    v = sub.add_parser("validate", help="validate data against a schema JSON")
+    v.add_argument("data")
+    v.add_argument("--schema", required=True)
+    v.add_argument("--format", choices=["csv", "jsonl", "parquet"])
+    v.add_argument("--key", help="comma-separated key columns for violations")
+    v.add_argument("--output", help="report path (.json or .html)")
+    v.add_argument("--violations", help="violation-rows parquet path")
+    v.add_argument("--verbose", action="store_true")
+    v.set_defaults(fn=cmd_validate)
+
+    pr = sub.add_parser("profile", help="profile a dataset")
+    pr.add_argument("data")
+    pr.add_argument("--format", choices=["csv", "jsonl", "parquet"])
+    pr.add_argument("--output")
+    pr.add_argument("--exact", action="store_true", help="exact quantiles/distinct")
+    pr.set_defaults(fn=cmd_profile)
+
+    s = sub.add_parser("schema", help="infer a validation schema from data")
+    s.add_argument("data")
+    s.add_argument("--format", choices=["csv", "jsonl", "parquet"])
+    s.add_argument("--output")
+    s.add_argument("--exact", action="store_true")
+    s.set_defaults(fn=cmd_schema)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -31,10 +31,18 @@ def with_salt(df: DataFrame, buckets: int, deterministic_by: str | None = None) 
     return df.withColumn(SALT_COL, salt)
 
 
-def salted_repartition(df: DataFrame, key: str, buckets: int, num_partitions: int | None = None) -> DataFrame:
+def salted_repartition(
+    df: DataFrame,
+    key: str,
+    buckets: int,
+    num_partitions: int | None = None,
+    salt_by: str | None = None,
+) -> DataFrame:
     """Hash-repartition on (key, salt) so one hot key spreads over ``buckets``
-    partitions instead of melting one reducer."""
-    salted = with_salt(df, buckets, deterministic_by=key if key else None)
+    partitions instead of melting one reducer. The salt must NOT derive from
+    ``key`` (a hot key would map to one salt); it comes from ``salt_by``
+    (e.g. the row's primary key — deterministic) or row position."""
+    salted = with_salt(df, buckets, deterministic_by=salt_by)
     args = ([num_partitions] if num_partitions else []) + [F.col(key), F.col(SALT_COL)]
     return salted.repartition(*args)
 

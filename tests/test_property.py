@@ -1,0 +1,116 @@
+"""Property-based oracle tests (hypothesis) — ports the reference's
+oracle-style invariants (tests/test_core/test_hypothesis.py, SURVEY.md §5):
+valid-by-construction data passes; a scalar fails a bound check iff outside
+the bound; unique fails iff duplicates exist — with a pandas reference
+implementation as the oracle."""
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pandera_unified_validator_spark import SchemaBuilder, SparkValidator
+
+SET = settings(
+    max_examples=12,  # each example runs Spark jobs — keep the budget sane
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def counts(spark, pdf, schema):
+    df = spark.createDataFrame(pdf)
+    rep = SparkValidator(schema).validate(df).report
+    return {c.name: c.n_failed for c in rep.checks}, rep
+
+
+@SET
+@given(
+    xs=st.lists(
+        st.one_of(st.none(), st.integers(min_value=-1000, max_value=1000)),
+        min_size=1,
+        max_size=50,
+    ),
+    lo=st.integers(min_value=-100, max_value=100),
+)
+def test_ge_matches_pandas_oracle(spark, xs, lo):
+    pdf = pd.DataFrame({"x": pd.array(xs, dtype="Int64")})
+    schema = SchemaBuilder("t").column("x", "int", ge=lo).build()
+    got, _ = counts(spark, pdf, schema)
+    s = pdf["x"]
+    expected = int(((s.notna()) & (s < lo)).sum())  # null passes value checks
+    assert got["x__ge"] == expected
+
+
+@SET
+@given(
+    xs=st.lists(
+        st.integers(min_value=0, max_value=8), min_size=1, max_size=60
+    )
+)
+def test_unique_matches_pandas_oracle(spark, xs):
+    pdf = pd.DataFrame({"k": xs})
+    schema = SchemaBuilder("t").column("k", "int", unique=True).build()
+    got, rep = counts(spark, pdf, schema)
+    vc = pdf["k"].value_counts()
+    expected = int(vc[vc > 1].sum())  # all member rows of duplicated keys
+    assert got["k__unique"] == expected
+    assert rep.is_valid == (expected == 0)
+
+
+@SET
+@given(
+    xs=st.lists(
+        st.sampled_from(["a", "b", "c", "zzz", "qq"]), min_size=1, max_size=40
+    ),
+    allowed=st.sets(st.sampled_from(["a", "b", "c"]), min_size=1),
+)
+def test_isin_matches_pandas_oracle(spark, xs, allowed):
+    pdf = pd.DataFrame({"s": xs})
+    schema = SchemaBuilder("t").column("s", "str", isin=sorted(allowed)).build()
+    got, _ = counts(spark, pdf, schema)
+    expected = int((~pdf["s"].isin(allowed)).sum())
+    assert got["s__isin"] == expected
+
+
+@SET
+@given(
+    n=st.integers(min_value=1, max_value=40),
+    lo=st.integers(min_value=0, max_value=5),
+    hi=st.integers(min_value=6, max_value=20),
+)
+def test_valid_by_construction_passes(spark, n, lo, hi):
+    pdf = pd.DataFrame(
+        {
+            "id": range(n),
+            "v": [lo + (i % max(hi - lo, 1)) for i in range(n)],
+        }
+    )
+    schema = (
+        SchemaBuilder("t")
+        .column("id", "int", nullable=False, unique=True, ge=0)
+        .column("v", "int", ge=lo, le=hi)
+        .build()
+    )
+    _, rep = counts(spark, pdf, schema)
+    assert rep.is_valid, rep.to_console()
+
+
+@SET
+@given(
+    xs=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=2,
+        max_size=60,
+    )
+)
+def test_profile_mean_min_max_match_pandas(spark, xs):
+    from pandera_unified_validator_spark.operators.profiler import DataProfiler
+
+    pdf = pd.DataFrame({"x": xs})
+    rep = DataProfiler(exact=True, correlations=False).profile(spark.createDataFrame(pdf))
+    p = rep.columns["x"]
+    assert p.mean == pytest.approx(pdf["x"].mean(), rel=1e-9, abs=1e-9)
+    assert p.min == pytest.approx(pdf["x"].min())
+    assert p.max == pytest.approx(pdf["x"].max())
+    assert p.median == pytest.approx(pdf["x"].quantile(0.5), rel=1e-9, abs=1e-9)

@@ -1,0 +1,106 @@
+"""Skew utilities + CLI surface tests."""
+
+import json
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandera_unified_validator_spark.functions.skew import (
+    salted_group_count,
+    salted_repartition,
+    with_salt,
+)
+from pandera_unified_validator_spark.tokens import token_table
+
+
+def test_salted_group_count_equivalence(spark):
+    # 70% hot key 'web' — the exact skew profile of the token table
+    df = token_table(spark, 5000)
+    plain = {r["source"]: r["count"] for r in df.groupBy("source").count().collect()}
+    salted = {
+        r["source"]: r["count"]
+        for r in salted_group_count(df, "source", buckets=16).collect()
+    }
+    assert salted == plain
+    assert plain["web"] > 0.6 * 5000  # the hot key really is hot
+
+
+def test_salted_repartition_spreads_hot_key(spark):
+    df = token_table(spark, 4000).filter(F.col("source") == "web")
+    # plain repartition by the hot key: every row lands in ONE partition
+    plain = df.repartition(16, "source").withColumn(
+        "p", F.spark_partition_id()
+    ).select("p").distinct().count()
+    salted = salted_repartition(df, "source", buckets=16, num_partitions=16).withColumn(
+        "p", F.spark_partition_id()
+    ).select("p").distinct().count()
+    assert plain == 1
+    assert salted >= 8  # hot key spread over most partitions
+
+
+def test_with_salt_deterministic(spark):
+    df = token_table(spark, 100)
+    a = with_salt(df, 8, deterministic_by="doc_id").select("doc_id", "__salt")
+    b = with_salt(df, 8, deterministic_by="doc_id").select("doc_id", "__salt")
+    assert a.exceptAll(b).count() == 0
+
+
+@pytest.fixture(scope="module")
+def users_csv(tmp_path_factory):
+    p = tmp_path_factory.mktemp("cli") / "users.csv"
+    p.write_text(
+        "id,email,age\n"
+        "1,a@x.com,30\n"
+        "2,bad-email,45\n"
+        "3,c@y.org,150\n"
+    )
+    return str(p)
+
+
+def run_cli(*args):
+    return subprocess.run(
+        [sys.executable, "-m", "pandera_unified_validator_spark", *args],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=300,
+    )
+
+
+def test_cli_schema_then_validate(users_csv, tmp_path):
+    schema_path = str(tmp_path / "schema.json")
+    r = run_cli("schema", users_csv, "--format", "csv", "--exact", "--output", schema_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    schema = json.load(open(schema_path))
+    cols = {c["name"] for c in schema["columns"]}
+    assert {"id", "email", "age"} <= cols
+
+    # tighten: age ≤ 120, email pattern → row 2 and 3 must fail
+    schema["columns"] = [
+        {"name": "id", "dtype": "int", "nullable": False, "unique": True},
+        {"name": "email", "dtype": "str", "pattern": r"^[^@\s]+@[^@\s]+\.[a-z]+$"},
+        {"name": "age", "dtype": "int", "ge": 0, "le": 120},
+    ]
+    with open(schema_path, "w") as f:
+        json.dump(schema, f)
+    report_path = str(tmp_path / "report.json")
+    r2 = run_cli(
+        "validate", users_csv, "--schema", schema_path, "--format", "csv",
+        "--key", "id", "--output", report_path,
+    )
+    assert r2.returncode == 1  # invalid data → nonzero exit
+    rep = json.load(open(report_path))
+    by = {c["name"]: c["n_failed"] for c in rep["checks"]}
+    assert by["email__pattern"] == 1 and by["age__le"] == 1
+    assert rep["summary"]["n_invalid_rows"] == 2
+
+
+def test_cli_profile(users_csv, tmp_path):
+    out = str(tmp_path / "profile.json")
+    r = run_cli("profile", users_csv, "--format", "csv", "--exact", "--output", out)
+    assert r.returncode == 0, r.stderr[-2000:]
+    prof = json.load(open(out))
+    assert prof["n_rows"] == 3
+    assert prof["columns"]["age"]["max"] == 150
