@@ -183,7 +183,11 @@ the per-executor profile matches the small-N column here. The N→4N evidence
 at low N (where a single host is not self-contended) is therefore the
 faithful proxy for multi-executor scaling; the 8→32 pair documents the
 single-host ceiling honestly.
-""")
+
+Caveat: this host is a shared VM with nonzero CPU-steal (cumulative steal
+visible in /proc/stat); identical runs vary up to 3x. Best-of-{RUNS} after
+warmups is used everywhere to approximate the steady-state ceiling.
+""".replace("{RUNS}", str(RUNS)))
     print("wrote BENCH/BASELINE.md")
 
 
