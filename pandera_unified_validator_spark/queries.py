@@ -573,6 +573,169 @@ FROM s
 """
 
 
+def q_chi_square_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square drift statistic over n_chars histograms (even vs odd
+    doc_id), computed fully in-plan — the second north-star drift measure."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") % 2 == 0)
+    cur = d.filter(F.col("doc_id") % 2 == 1)
+    mm = base.agg(
+        F.min(F.col("n_chars").cast("double")).alias("lo"),
+        F.max(F.col("n_chars").cast("double")).alias("hi"),
+    ).collect()[0]
+    e = histogram_df(base, "n_chars", mm["lo"], mm["hi"], 10).withColumnRenamed("n", "ne")
+    a = histogram_df(cur, "n_chars", mm["lo"], mm["hi"], 10).withColumnRenamed("n", "na")
+    j = e.join(a, "bucket", "full_outer").select(
+        F.coalesce("ne", F.lit(0)).alias("ne"), F.coalesce("na", F.lit(0)).alias("na")
+    )
+    tot = j.agg(F.sum("ne").alias("te"), F.sum("na").alias("ta"))
+    exp_scaled = F.col("ne") / F.col("te") * F.col("ta")
+    term = F.when(
+        (F.col("ne") == 0) & (F.col("na") == 0), F.lit(0.0)
+    ).otherwise(
+        F.pow(F.col("na") - exp_scaled, 2) / F.greatest(exp_scaled, F.lit(1e-9))
+    )
+    return j.crossJoin(tot).agg(F.round(F.sum(term), 4).alias("chi_square"))
+
+
+_SQL_CHI_SQUARE_DOCUMENTS = """
+WITH base AS (SELECT n_chars FROM documents WHERE doc_id % 2 = 0),
+     cur  AS (SELECT n_chars FROM documents WHERE doc_id % 2 = 1),
+     mm   AS (SELECT CAST(min(n_chars) AS DOUBLE) AS lo, CAST(max(n_chars) AS DOUBLE) AS hi FROM base),
+     eb   AS (SELECT CAST(least(greatest(floor((n_chars - mm.lo) / ((mm.hi - mm.lo) / 10)), 0), 9) AS INTEGER) AS bucket,
+                     count(*) AS ne
+              FROM base, mm WHERE n_chars IS NOT NULL GROUP BY 1),
+     ab   AS (SELECT CAST(least(greatest(floor((n_chars - mm.lo) / ((mm.hi - mm.lo) / 10)), 0), 9) AS INTEGER) AS bucket,
+                     count(*) AS na
+              FROM cur, mm WHERE n_chars IS NOT NULL GROUP BY 1),
+     j    AS (SELECT coalesce(eb.ne, 0) AS ne, coalesce(ab.na, 0) AS na
+              FROM eb FULL OUTER JOIN ab USING (bucket)),
+     t    AS (SELECT sum(ne) AS te, sum(na) AS ta FROM j)
+SELECT round(sum(CASE WHEN ne = 0 AND na = 0 THEN 0.0
+                      ELSE pow(na - ne * 1.0 / te * ta, 2)
+                           / greatest(ne * 1.0 / te * ta, 1e-9) END), 4) AS chi_square
+FROM j, t
+"""
+
+
+def q_simhash_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash construction parity (16-bit, md5-derived bit votes — md5 is
+    the hash both engines share; the production op uses xxhash64)."""
+    from .operators.text import words
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    tok = d.select("doc_id", F.explode(words(F.col("text"))).alias("w"))
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.substring(F.md5("w"), j + 1, 1) >= "8", 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(16)
+        ]
+    )
+    fp = None
+    for j in range(16):
+        bit = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        t = F.shiftleft(bit, j)
+        fp = t if fp is None else fp + t
+    return votes.select("doc_id", fp.alias("simhash16")).orderBy("doc_id")
+
+
+_SQL_SIMHASH_PARITY = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS w
+  FROM documents WHERE doc_id < 100
+),
+votes AS (
+  SELECT doc_id,
+         {cols}
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash16 FROM votes ORDER BY doc_id
+""".format(
+    cols=",\n         ".join(
+        f"sum(CASE WHEN substr(md5(w), {j + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(16)
+    ),
+    fp=" + ".join(f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16)),
+)
+
+
+def q_quality_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full quality-score blend per language (the A13-style composite,
+    deterministic arithmetic on text features)."""
+    from .operators.text import quality_score
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.round(F.avg(quality_score(F.col("text"))), 4).alias("avg_quality"))
+        .orderBy("lang")
+    )
+
+
+_SQL_QUALITY_SCORE_DOCUMENTS = r"""
+WITH f AS (
+  SELECT lang,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws,
+         text
+  FROM documents
+),
+g AS (
+  SELECT lang,
+         CAST(list_aggregate(list_transform(ws, x -> length(x)), 'sum') AS DOUBLE)
+           / greatest(len(ws), 1) AS mwl,
+         len(ws) AS n_words,
+         CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it|that|for|on|as|with|was|at|by)\b')) AS DOUBLE)
+           / greatest(len(ws), 1) AS stop_ratio,
+         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+           / greatest(length(text), 1) AS punct_ratio,
+         CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+           / greatest(length(text), 1) AS digit_ratio
+  FROM f
+),
+s AS (
+  SELECT lang,
+         round(0.3 * (CASE WHEN mwl >= 3.0 AND mwl <= 8.0 THEN 1.0 ELSE 0.4 END)
+             + 0.25 * (CASE WHEN n_words >= 20 THEN 1.0 ELSE n_words / 20.0 END)
+             + 0.2 * least(stop_ratio * 4.0, 1.0)
+             + 0.25 * greatest(0.0, 1.0 - (punct_ratio + digit_ratio) * 2.0), 4) AS q
+  FROM g
+)
+SELECT lang, round(avg(q), 4) AS avg_quality FROM s GROUP BY lang ORDER BY lang
+"""
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by account balance per market segment — the window
+    ranking pattern (row_number over partitioned sort)."""
+    from pyspark.sql import Window as W
+
+    c = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        c.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("c_mktsegment", "rank", "c_custkey", F.round("c_acctbal", 2).alias("acctbal"))
+        .orderBy("c_mktsegment", "rank")
+    )
+
+
+_SQL_TOPK_PER_GROUP = """
+SELECT c_mktsegment, rank, c_custkey, round(c_acctbal, 2) AS acctbal
+FROM (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal DESC, c_custkey ASC) AS rank
+  FROM customer
+)
+WHERE rank <= 3
+ORDER BY c_mktsegment, rank
+"""
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only (no SQL oracle): LSH-bucketed approximate nearest neighbors —
     the result depends on the seeded hyperplanes, which SQL cannot replay."""
@@ -617,6 +780,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "minhash_parity": (q_minhash_parity, _SQL_MINHASH_PARITY),
     "embedding_topk": (q_embedding_topk, _SQL_EMBEDDING_TOPK),
     "sessionization_events": (q_sessionization_events, _SQL_SESSIONIZATION_EVENTS),
+    "chi_square_documents": (q_chi_square_documents, _SQL_CHI_SQUARE_DOCUMENTS),
+    "simhash_parity": (q_simhash_parity, _SQL_SIMHASH_PARITY),
+    "quality_score_documents": (q_quality_score_documents, _SQL_QUALITY_SCORE_DOCUMENTS),
+    "topk_per_group": (q_topk_per_group, _SQL_TOPK_PER_GROUP),
     "ann_lsh_topk": (q_ann_lsh_topk, None),
     "minhash_near_dup": (q_minhash_near_dup, None),
 }
