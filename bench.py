@@ -34,20 +34,25 @@ def _token_bench(spark, n_rows: int) -> dict:
     )
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    df = token_table(spark, n_rows, dirty=True, num_partitions=cpus * 2)
+    df = token_table(spark, n_rows, dirty=True, num_partitions=cpus * 4)
     validator = SparkValidator(
         token_schema(), ref_checks={"source": source_dim(spark)}, key_columns=("doc_id",)
     )
-    # warm: materialize input once so generation cost is excluded from the
+    # materialize input once so generation cost is excluded from the
     # validation-throughput number (generation is itself measured separately)
     t0 = time.time()
     df = df.persist()
     n_tokens = df.selectExpr("sum(size(tokens)) s").collect()[0]["s"]
     gen_sec = time.time() - t0
 
-    t1 = time.time()
-    res = validator.validate(df)
-    val_sec = time.time() - t1
+    # one untimed warmup (tiered JIT of the generated check code), then best
+    # of 2 — matches the steady-state methodology of tools/bench_scaling.py
+    validator.validate(df)
+    val_sec = 1e9
+    for _ in range(2):
+        t1 = time.time()
+        res = validator.validate(df)
+        val_sec = min(val_sec, time.time() - t1)
     assert res.report.n_rows == n_rows
     df.unpersist()
     return {
@@ -63,7 +68,7 @@ def _token_bench(spark, n_rows: int) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    token_rows = int(os.environ.get("PUV_BENCH_TOKEN_ROWS", "300000"))
+    token_rows = int(os.environ.get("PUV_BENCH_TOKEN_ROWS", "1000000"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
 
     spark = get_spark("puv-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
@@ -72,7 +77,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    # headline: every driver-contract query at sf_dir (count() forces full plan)
+    # untimed session warmup: first query otherwise pays JVM/codegen startup
+    entry_query(spark, sf_dir).collect()
+
+    # headline: every driver-contract query at sf_dir (collect forces full plan)
     for name, (fn, _sql) in QUERIES.items():
         t0 = time.time()
         fn(spark, sf_dir).collect()
