@@ -161,8 +161,11 @@ class SparkValidator:
         annotated = annotated.select("*", *flag_cols)
 
         # unique (C8): dup-key set via partial-agg groupBy → broadcast join.
+        # Not defined on an unbounded stream (a duplicate may arrive later);
+        # streaming inputs skip it — use the batch path (or foreachBatch,
+        # where each micro-batch is a bounded DataFrame) for uniqueness.
         for g in global_checks:
-            if g.check != "unique":
+            if g.check != "unique" or df.isStreaming:
                 continue
             col = g.column
             dup_keys = (

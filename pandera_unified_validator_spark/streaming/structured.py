@@ -14,10 +14,10 @@ from typing import Callable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.validator import SparkValidator
+from ..operators.validator import FLAG_PREFIX, SparkValidator
 from ..utils.reporting import ValidationMetrics
 
-__all__ = ["StreamingValidationSink", "validate_stream"]
+__all__ = ["StreamingValidationSink", "validate_stream", "windowed_error_rates"]
 
 
 class StreamingValidationSink:
@@ -56,6 +56,40 @@ class StreamingValidationSink:
             )
         if self.on_batch:
             self.on_batch(batch_id, self.metrics)
+
+
+def windowed_error_rates(
+    stream_df: DataFrame,
+    validator: SparkValidator,
+    ts_col: str,
+    *,
+    window: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Per-event-time-window validation quality: watermarked tumbling/sliding
+    windows aggregating row-pass/fail counts per check — the streaming
+    analogue of the per-partition verdict (late data handled by the
+    watermark; output is append-safe once windows close).
+
+    Returns a streaming DataFrame (window, n_rows, n_invalid, error_rate,
+    <one fail-count column per check>). Caller attaches a sink.
+    """
+    annotated, checks, _ = validator.annotate(stream_df)
+    flag_names = [c.name for c in checks]
+    win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((~F.col("__puv_row_ok")).cast("long")).alias("n_invalid"),
+    ] + [
+        F.sum((~F.col(FLAG_PREFIX + n)).cast("long")).alias(n) for n in flag_names
+    ]
+    return (
+        annotated.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("window"))
+        .agg(*aggs)
+        .withColumn("error_rate", F.col("n_invalid") / F.col("n_rows"))
+    )
 
 
 def validate_stream(
