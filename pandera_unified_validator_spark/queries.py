@@ -573,6 +573,51 @@ FROM s
 """
 
 
+def q_verdicts_by_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-logical-partition × per-check verdict counts — the north rule's
+    per-partition pass/fail output, partitioned by o_orderstatus."""
+    schema = (
+        SchemaBuilder("orders")
+        .column("o_totalprice", "float", le=300000.0)
+        .column("o_orderpriority", "str", isin=["1-URGENT", "2-HIGH"])
+        .build()
+    )
+    res = SparkValidator(schema, partition_by="o_orderstatus").validate(
+        _t(spark, sf_dir, "orders")
+    )
+    return res.verdicts.select(
+        F.col("partition_id").alias("status"),
+        "n_rows",
+        "n_invalid_rows",
+        "check",
+        "n_failed",
+    ).orderBy("status", "check")
+
+
+_SQL_VERDICTS_BY_PARTITION = """
+WITH flags AS (
+  SELECT o_orderstatus AS status,
+         CASE WHEN o_totalprice IS NOT NULL AND NOT (o_totalprice <= 300000.0)
+              THEN 1 ELSE 0 END AS f_price,
+         CASE WHEN o_orderpriority IS NOT NULL
+                   AND o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+              THEN 1 ELSE 0 END AS f_prio
+  FROM orders
+),
+agg AS (
+  SELECT status, count(*) AS n_rows,
+         CAST(sum(CASE WHEN f_price = 1 OR f_prio = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid_rows,
+         CAST(sum(f_price) AS BIGINT) AS price_fails,
+         CAST(sum(f_prio) AS BIGINT) AS prio_fails
+  FROM flags GROUP BY status
+)
+SELECT status, n_rows, n_invalid_rows, 'o_totalprice__le' AS "check", price_fails AS n_failed FROM agg
+UNION ALL
+SELECT status, n_rows, n_invalid_rows, 'o_orderpriority__isin', prio_fails FROM agg
+ORDER BY status, "check"
+"""
+
+
 def q_chi_square_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square drift statistic over n_chars histograms (even vs odd
     doc_id), computed fully in-plan — the second north-star drift measure."""
@@ -780,6 +825,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "minhash_parity": (q_minhash_parity, _SQL_MINHASH_PARITY),
     "embedding_topk": (q_embedding_topk, _SQL_EMBEDDING_TOPK),
     "sessionization_events": (q_sessionization_events, _SQL_SESSIONIZATION_EVENTS),
+    "verdicts_by_partition": (q_verdicts_by_partition, _SQL_VERDICTS_BY_PARTITION),
     "chi_square_documents": (q_chi_square_documents, _SQL_CHI_SQUARE_DOCUMENTS),
     "simhash_parity": (q_simhash_parity, _SQL_SIMHASH_PARITY),
     "quality_score_documents": (q_quality_score_documents, _SQL_QUALITY_SCORE_DOCUMENTS),
