@@ -132,7 +132,22 @@ class SparkValidator:
         collect_samples: bool = False,
         max_samples: int = 5,
         fail_fast: bool = False,
+        unique_strategy: str = "direct",
     ) -> None:
+        """``unique_strategy``:
+
+        * ``"direct"`` — groupBy the key itself. Shuffle carries the full key
+          (~30+ B for doc_id strings at 10^12 rows).
+        * ``"hash_prefilter"`` — shuffle only ``xxhash64(key)`` (8 B fixed) to
+          find duplicate *hashes*, then exact-verify just those candidate
+          rows (semi-join + tiny groupBy). ~4x less shuffle for string keys;
+          64-bit collisions only ever ADD candidates (n²/2⁶⁵ expected — a
+          few 10k at 10^12 rows), never lose a duplicate, and the exact pass
+          removes them. Correct for mostly-clean data; with huge duplicate
+          sets the candidate broadcast degrades — keep "direct" there.
+        """
+        if unique_strategy not in ("direct", "hash_prefilter"):
+            raise ValueError(f"unknown unique_strategy {unique_strategy!r}")
         self.schema = schema
         self.ref_checks = dict(ref_checks or {})
         self.key_columns = tuple(key_columns)
@@ -140,6 +155,7 @@ class SparkValidator:
         self.collect_samples = collect_samples
         self.max_samples = max_samples
         self.fail_fast = fail_fast
+        self.unique_strategy = unique_strategy
 
     # ------------------------------------------------------------------ #
     def annotate(self, df: DataFrame) -> tuple[DataFrame, list[CompiledCheck], list[str]]:
@@ -168,13 +184,34 @@ class SparkValidator:
             if g.check != "unique" or df.isStreaming:
                 continue
             col = g.column
-            dup_keys = (
-                df.filter(F.col(col).isNotNull())
-                .groupBy(col)
-                .agg(F.count(F.lit(1)).alias("__dup_n"))
-                .filter(F.col("__dup_n") > 1)
-                .select(F.col(col).alias("__dup_key"))
-            )
+            nn = df.filter(F.col(col).isNotNull())
+            if self.unique_strategy == "hash_prefilter":
+                # stage 1: duplicate HASHES — the shuffle carries 8 bytes/row
+                dup_hashes = (
+                    nn.groupBy(F.xxhash64(col).alias("__kh"))
+                    .agg(F.count(F.lit(1)).alias("__dup_n"))
+                    .filter(F.col("__dup_n") > 1)
+                    .select("__kh")
+                )
+                # stage 2: exact verify only candidate rows (collisions drop)
+                cand = nn.join(
+                    F.broadcast(dup_hashes),
+                    F.xxhash64(nn[col]) == F.col("__kh"),
+                    "left_semi",
+                )
+                dup_keys = (
+                    cand.groupBy(col)
+                    .agg(F.count(F.lit(1)).alias("__dup_n"))
+                    .filter(F.col("__dup_n") > 1)
+                    .select(F.col(col).alias("__dup_key"))
+                )
+            else:
+                dup_keys = (
+                    nn.groupBy(col)
+                    .agg(F.count(F.lit(1)).alias("__dup_n"))
+                    .filter(F.col("__dup_n") > 1)
+                    .select(F.col(col).alias("__dup_key"))
+                )
             annotated = annotated.join(
                 F.broadcast(dup_keys),
                 on=annotated[col] == F.col("__dup_key"),
