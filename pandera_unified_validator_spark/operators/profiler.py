@@ -52,6 +52,7 @@ class ColumnProfile:
     categorical_values: list[Any] | None = None
     inferred_pattern: str | None = None
     suggestion: dict[str, Any] | None = None
+    array_stats: dict[str, Any] | None = None  # for array<T> columns
 
     @property
     def missing_pct(self) -> float:
@@ -180,13 +181,31 @@ class DataProfiler:
             if isinstance(fields[c], (T.TimestampType, T.TimestampNTZType, T.DateType))
         ]
 
+        arrays = [c for c in cols if isinstance(fields[c], T.ArrayType)]
+
         aggs: list = [F.count(F.lit(1)).alias("__n")]
         for c in cols:
             aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"miss__{c}"))  # A6
-            if self.exact:
+            if c in arrays:
+                # arrays aren't directly distinct-countable cheaply: hash them
+                h = F.xxhash64(F.col(c).cast("string"))
+                agg_fn = F.countDistinct if self.exact else F.approx_count_distinct
+                aggs.append(agg_fn(h).alias(f"dist__{c}"))
+            elif self.exact:
                 aggs.append(F.countDistinct(c).alias(f"dist__{c}"))                 # A10
             else:
                 aggs.append(F.approx_count_distinct(c).alias(f"dist__{c}"))
+        for c in arrays:
+            # array-aware stats (token table: size ≈ n_tok, element = token id)
+            sz = F.size(F.col(c))
+            aggs += [
+                F.min(sz).alias(f"szmin__{c}"),
+                F.max(sz).alias(f"szmax__{c}"),
+                F.mean(sz.cast("double")).alias(f"szmean__{c}"),
+                F.sum(sz.cast("long")).alias(f"sztot__{c}"),
+                F.min(F.array_min(F.col(c))).alias(f"emin__{c}"),
+                F.max(F.array_max(F.col(c))).alias(f"emax__{c}"),
+            ]
         for c in numeric:
             aggs += [
                 F.mean(c).alias(f"mean__{c}"),            # A1
@@ -260,6 +279,15 @@ class DataProfiler:
             elif c in temporal:
                 p.min = row.get(f"min__{c}")
                 p.max = row.get(f"max__{c}")
+            elif c in arrays:
+                p.array_stats = {
+                    "size_min": row.get(f"szmin__{c}"),
+                    "size_max": row.get(f"szmax__{c}"),
+                    "size_mean": row.get(f"szmean__{c}"),
+                    "total_elements": row.get(f"sztot__{c}"),
+                    "element_min": row.get(f"emin__{c}"),
+                    "element_max": row.get(f"emax__{c}"),
+                }
             if c in strings:
                 for i, pat in enumerate(_PATTERNS):
                     v = row.get(f"pat{i}__{c}")
@@ -347,6 +375,14 @@ class DataProfiler:
             confidence += 0.1
         elif p.inferred_pattern:
             s["pattern"] = p.inferred_pattern
+            confidence += 0.1
+        if (
+            p.dtype == "array<int>"
+            and p.array_stats
+            and p.array_stats.get("element_min") is not None
+        ):
+            s["element_ge"] = int(p.array_stats["element_min"])
+            s["element_lt"] = int(p.array_stats["element_max"]) + 1
             confidence += 0.1
         if p.unique_ratio is not None and p.unique_ratio > 0.98:
             s["unique"] = True

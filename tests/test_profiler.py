@@ -130,3 +130,26 @@ def test_token_frequency_drift(spark):
     biased = a.withColumn("tokens", F.transform("tokens", lambda t: t % 7))
     rep2 = token_frequency_drift(a, biased, num_buckets=64)
     assert rep2.drifted and rep2.psi["tokens"] > 0.5
+
+
+def test_array_column_profile_and_suggestion(spark):
+    from pandera_unified_validator_spark import SparkValidator
+
+    df = token_table(spark, 500)
+    rep = DataProfiler(exact=True).profile(df)
+    st = rep.columns["tokens"].array_stats
+    assert st is not None
+    assert st["size_min"] >= 1 and st["size_max"] <= 8192
+    assert st["total_elements"] > 0
+    assert 0 <= st["element_min"] and st["element_max"] < 50257
+    # per-row size stats agree with the n_tok column (clean table invariant)
+    import pyspark.sql.functions as F
+
+    n_tok_max = df.agg(F.max("n_tok")).collect()[0][0]
+    assert st["size_max"] == n_tok_max
+    # suggested schema includes element bounds and re-validates the data
+    sug = rep.suggested_schema()
+    spec = sug.columns["tokens"]
+    assert spec.element_ge == st["element_min"]
+    assert spec.element_lt == st["element_max"] + 1
+    assert SparkValidator(sug).validate(df).is_valid
