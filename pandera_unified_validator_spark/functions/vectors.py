@@ -72,7 +72,10 @@ def hyperplane_signature_udf(dim: int, n_bits: int = 16, seed: int = 42):
     import numpy as np
 
     rng = np.random.RandomState(seed)
-    planes = rng.standard_normal((dim, n_bits)).astype("float32")
+    # planes quantized to float32 (stable literal embedding in SQL oracles),
+    # dot products accumulated in float64 so the SIGN of each projection is
+    # bit-comparable with SQL-engine double math
+    planes = rng.standard_normal((dim, n_bits)).astype("float32").astype("float64")
     weights = (1 << np.arange(n_bits)).astype("int64")
 
     @F.pandas_udf(T.LongType())
@@ -80,7 +83,7 @@ def hyperplane_signature_udf(dim: int, n_bits: int = 16, seed: int = 42):
         import numpy as np
         import pandas as pd
 
-        mat = np.vstack(col.to_numpy())
+        mat = np.vstack(col.to_numpy()).astype("float64")
         bits = (mat @ planes) > 0
         return pd.Series(bits @ weights)
 

@@ -43,20 +43,29 @@ def dedup_exact(
 ) -> DataFrame:
     """Keep one row per distinct value of ``cols`` (default: all columns).
 
-    Hash-first: the shuffle key is a 64-bit xxhash of the dedup columns, so
-    a 100 TB text corpus shuffles ~16 B/row for candidate grouping; the
-    winner per group is the row with the smallest ``tiebreak`` (deterministic)
-    or an arbitrary first. Implemented as min_by over one hash-partitioned
-    aggregation — no window sort.
+    The grouping key is (64-bit xxhash digest, exact dedup values): the
+    digest makes hash-table probes cheap, while the exact values guarantee
+    two distinct rows that collide on the digest land in different groups —
+    no silent merge (expected n²/2⁶⁵ collisions = tens of thousands at
+    10^12 rows if grouped by digest alone). The winner per group is the row
+    with the smallest ``tiebreak`` (deterministic) via min_by over one
+    hash-partitioned aggregation — no window sort. The full winner row must
+    cross the shuffle once (it is the output); partial aggregation keeps
+    per-partition traffic to one candidate row per distinct key.
     """
     cols = list(cols) if cols else df.columns
     digest = F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols])
     if tiebreak is None:
         tiebreak = cols[0]
     packed = df.select(
-        digest.alias("__digest"), F.col(tiebreak).alias("__tb"), F.struct(*df.columns).alias("__row")
+        digest.alias("__digest"),
+        F.struct(*[F.col(c) for c in cols]).alias("__key"),
+        F.col(tiebreak).alias("__tb"),
+        F.struct(*df.columns).alias("__row"),
     )
-    kept = packed.groupBy("__digest").agg(F.min_by("__row", F.col("__tb")).alias("__row"))
+    kept = packed.groupBy("__digest", "__key").agg(
+        F.min_by("__row", F.col("__tb")).alias("__row")
+    )
     return kept.select("__row.*")
 
 
@@ -95,20 +104,35 @@ def minhash_signatures_df(
     text_col: str = "text",
     num_hashes: int = 64,
     shingle_k: int = 5,
+    include_shingle_hashes: bool = False,
 ) -> DataFrame:
-    """Corpus-scale MinHash: one explode to (doc, shingle) rows, then every
-    seeded hash as a codegen'd column and one hash-shuffled groupBy computing
-    all ``num_hashes`` mins with map-side combine. Returns (id, __sig array).
+    """Corpus-scale MinHash: one explode to (doc, distinct shingle) rows;
+    each shingle string is hashed ONCE (``xxhash64``) and the ``num_hashes``
+    seeded variants derive from that 8-byte base hash (hashing a long is
+    ~10x cheaper than re-hashing the shingle string per seed) — all codegen'd
+    columns folded by one hash-shuffled groupBy with map-side combine.
+    Returns (id, __sig array); with ``include_shingle_hashes`` also ``__shh``
+    (the doc's distinct shingle-hash set, collected in the SAME pass) so
+    downstream exact-Jaccard verification needs no second shingle build.
     Docs with no shingles drop out (no signature to compare)."""
-    ex = df.select(F.col(id_col), F.explode(shingles(text_col, shingle_k)).alias("__s"))
+    ex = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(text_col, shingle_k))).alias("__s"),
+    ).select(F.col(id_col), F.xxhash64("__s").alias("__h0"))
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("__s"))).alias(f"__h{i}")
+        F.min(F.xxhash64(F.lit(i), F.col("__h0"))).alias(f"__h{i}")
         for i in range(num_hashes)
     ]
+    if include_shingle_hashes:
+        aggs.append(F.collect_set("__h0").alias("__shh"))
     agg = ex.groupBy(id_col).agg(*aggs)
-    return agg.select(
-        F.col(id_col), F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("__sig")
-    )
+    out_cols = [
+        F.col(id_col),
+        F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("__sig"),
+    ]
+    if include_shingle_hashes:
+        out_cols.append(F.col("__shh"))
+    return agg.select(*out_cols)
 
 
 def lsh_candidate_pairs(
@@ -171,20 +195,23 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """End-to-end MinHash LSH near-dup: signature → band buckets → candidate
     pairs → exact shingle-Jaccard verification ≥ threshold.
-    Returns (id_a, id_b, jaccard_sim)."""
+    Returns (id_a, id_b, jaccard_sim).
+
+    ONE shingle pass: the signature aggregation also collects each doc's
+    distinct shingle-hash set (``include_shingle_hashes``), so verification
+    joins ship fixed-width longs instead of rebuilding (and shuffling) string
+    shingles — exact Jaccard over the hash sets equals Jaccard over shingles
+    up to 64-bit collisions (~n_shingles²/2⁶⁵, vanishing). The persisted
+    table is the one materialized signature store a 10^12-doc run would keep."""
     rows_per_band = num_hashes // bands
-    # persist both intermediates: the band self-join and the verification
-    # joins would otherwise recompute the shingle + signature lineage once
-    # per join branch. At 10^12 docs these become materialized signature
-    # tables, same idea.
-    sigs = minhash_signatures_df(df, id_col, text_col, num_hashes, shingle_k).persist()
-    cand = lsh_candidate_pairs(sigs, id_col, "__sig", bands, rows_per_band)
-    sh = df.select(
-        F.col(id_col), F.array_distinct(shingles(text_col, shingle_k)).alias("__sh")
+    sigs = minhash_signatures_df(
+        df, id_col, text_col, num_hashes, shingle_k, include_shingle_hashes=True
     ).persist()
+    cand = lsh_candidate_pairs(sigs, id_col, "__sig", bands, rows_per_band)
+    sh = sigs.select(F.col(id_col), F.col("__shh"))
     return (
-        cand.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("__sh", "__sh_a"), "id_a")
-        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("__sh", "__sh_b"), "id_b")
+        cand.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("__shh", "__sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("__shh", "__sh_b"), "id_b")
         .withColumn("jaccard_sim", F.round(jaccard("__sh_a", "__sh_b"), 4))
         .filter(F.col("jaccard_sim") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard_sim")
@@ -287,19 +314,44 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     *,
-    dim: int,
+    dim: int | None = None,
     threshold: float = 0.95,
     n_bits: int = 12,
     seed: int = 42,
+    max_bucket_rows: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup: random-hyperplane LSH bucket (Arrow UDF) →
     within-bucket pairs → exact cosine ≥ threshold. High-cosine pairs agree
     on most hyperplane signs, so same-bucket candidacy catches near-dups;
-    recall/cost trades with ``n_bits``."""
+    recall/cost trades with ``n_bits``.
+
+    ``dim`` is inferred from the first row when not given. ``max_bucket_rows``
+    guards against a degenerate bucket (skewed embeddings → one hot bucket →
+    quadratic join): buckets above the cap are refined with a second seeded
+    signature, bounding per-bucket work at a bounded recall cost (pairs split
+    across sub-buckets are missed — documented trade, not silent)."""
+    if dim is None:
+        first = df.select(vec_col).first()
+        # empty input: any dim works, no UDF batch ever runs
+        dim = len(first[0]) if first is not None and first[0] is not None else 1
     sig = hyperplane_signature_udf(dim, n_bits, seed)
     tagged = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")).withColumn(
-        "__bucket", sig(F.col("__v"))
+        "__bucket", sig(F.col("__v")).cast("string")
     )
+    if max_bucket_rows is not None:
+        sig2 = hyperplane_signature_udf(dim, n_bits, seed + 1)
+        sizes = tagged.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__bn"))
+        tagged = (
+            tagged.join(sizes, "__bucket")
+            .withColumn(
+                "__bucket",
+                F.when(
+                    F.col("__bn") > max_bucket_rows,
+                    F.concat_ws(":", F.col("__bucket"), sig2(F.col("__v")).cast("string")),
+                ).otherwise(F.col("__bucket")),
+            )
+            .drop("__bn")
+        )
     l, r = tagged.alias("l"), tagged.alias("r")
     return (
         l.join(

@@ -88,13 +88,12 @@ def decode_image_features(
         import pandas as pd
 
         if not fake:
-            try:
-                from PIL import Image  # noqa: F401
-            except ImportError as e:  # pragma: no cover - env-dependent
-                raise NotImplementedError(
-                    "image decode requires Pillow (not in this container); "
-                    "pass fake=True for the deterministic stub"
-                ) from e
+            # real decode is NOT implemented — never silently emit stub
+            # vectors as if they were decoded features, even with PIL present
+            raise NotImplementedError(
+                "real image decode is not implemented (container ships no "
+                "imaging libs); pass fake=True for the deterministic stub"
+            )
         for pdf in batches:
             feats = [
                 _fake_features(p, dim) if p is not None else None
@@ -118,12 +117,9 @@ def resize_images(
 
     def run(batches: Iterator) -> Iterator:
         if not fake:
-            try:
-                from PIL import Image  # noqa: F401
-            except ImportError as e:  # pragma: no cover
-                raise NotImplementedError(
-                    "image resize requires Pillow; pass fake=True for the stub"
-                ) from e
+            raise NotImplementedError(
+                "real image resize is not implemented; pass fake=True for the stub"
+            )
         for pdf in batches:
             pdf = pdf.copy()
             pdf["width"] = width
@@ -163,15 +159,25 @@ def sample_video_frames(
                 "pass fake=True for the deterministic stub"
             )
         for pdf in batches:
-            ids, ts, frames = [], [], []
-            for _, row in pdf.iterrows():
-                dur = int(row["duration_ms"] or 0)
-                for t in range(0, dur, every_ms):
-                    ids.append(row[id_col])
-                    ts.append(t)
-                    frames.append(
-                        hashlib.sha256(f"{row[id_col]}@{t}".encode()).digest()
-                    )
+            # vectorized row expansion: one repeat + one concatenated
+            # timestamp ramp per batch (no per-row Python loop); only the
+            # frame digests remain per-output-row work, which a real decoder
+            # replaces wholesale behind this same signature.
+            import numpy as np
+
+            dur = pdf["duration_ms"].fillna(0).astype("int64").to_numpy()
+            counts = np.maximum((dur + every_ms - 1) // every_ms, 0)
+            ids = pdf[id_col].to_numpy().repeat(counts)
+            ts = (
+                np.concatenate([np.arange(c, dtype="int64") for c in counts])
+                * every_ms
+                if counts.sum()
+                else np.array([], dtype="int64")
+            )
+            frames = [
+                hashlib.sha256(f"{i}@{t}".encode()).digest()
+                for i, t in zip(ids, ts)
+            ]
             yield pd.DataFrame({id_col: ids, "ts_ms": ts, "frame": frames})
 
     return df.filter(F.col("kind") == "video").select(

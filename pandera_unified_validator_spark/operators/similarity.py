@@ -58,8 +58,10 @@ def lsh_topk(
     dim = len(query)
     sig = hyperplane_signature_udf(dim, n_bits, seed)
     rng = np.random.RandomState(seed)
-    planes = rng.standard_normal((dim, n_bits)).astype("float32")
-    qbits = (np.asarray(query, dtype="float32") @ planes) > 0
+    # same quantize-then-float64 discipline as hyperplane_signature_udf so
+    # the query lands in the same bucket the corpus UDF assigns
+    planes = rng.standard_normal((dim, n_bits)).astype("float32").astype("float64")
+    qbits = (np.asarray(query, dtype="float64") @ planes) > 0
     weights = (1 << np.arange(n_bits)).astype("int64")
     qbucket = int(qbits @ weights)
 
@@ -98,10 +100,19 @@ class IvfIndex:
         import numpy as np
 
         self.id_col, self.vec_col = id_col, vec_col
+        # seeded Bernoulli sample spanning the whole corpus (a bare
+        # .limit(sample_rows) is first-N: on sorted/clustered input the
+        # centroids would all come from one region). One cheap count job
+        # sizes the fraction; .sample is a per-row filter, no shuffle.
+        n_corpus = corpus.count()
+        frac = min(1.0, (3.0 * sample_rows) / max(n_corpus, 1))
         sample = np.vstack(
             [
                 r[vec_col]
-                for r in corpus.select(vec_col).limit(int(sample_rows)).collect()
+                for r in corpus.select(vec_col)
+                .sample(fraction=frac, seed=seed)
+                .limit(int(sample_rows))
+                .collect()
             ]
         ).astype("float32")
         rng = np.random.RandomState(seed)

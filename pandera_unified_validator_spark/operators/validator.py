@@ -133,11 +133,12 @@ class SparkValidator:
         max_samples: int = 5,
         fail_fast: bool = False,
         unique_strategy: str = "direct",
+        broadcast_dup_limit: int = 4_000_000,
     ) -> None:
         """``unique_strategy``:
 
         * ``"direct"`` — groupBy the key itself. Shuffle carries the full key
-          (~30+ B for doc_id strings at 10^12 rows).
+          (~30+ B for doc_id strings at 10^12 rows). Dup-key set broadcast.
         * ``"hash_prefilter"`` — shuffle only ``xxhash64(key)`` (8 B fixed) to
           find duplicate *hashes*, then exact-verify just those candidate
           rows (semi-join + tiny groupBy). ~4x less shuffle for string keys;
@@ -145,8 +146,17 @@ class SparkValidator:
           few 10k at 10^12 rows), never lose a duplicate, and the exact pass
           removes them. Correct for mostly-clean data; with huge duplicate
           sets the candidate broadcast degrades — keep "direct" there.
+        * ``"auto"`` — one cheap estimate job (count + approx_count_distinct,
+          column-pruned scan) decides: dup-key estimate within
+          ``broadcast_dup_limit`` AND above estimator noise → broadcast join
+          back (the fast clean-data plan); otherwise → plain shuffled left
+          join (AQE may still broadcast at runtime if the set turns out
+          small). Heavily-duplicated 10^12-row inputs can't OOM the driver.
+          The estimate is deliberately conservative: approx_count_distinct
+          error grows with n, so at extreme row counts the fallback join is
+          chosen even for clean data — correct either way, never unsafe.
         """
-        if unique_strategy not in ("direct", "hash_prefilter"):
+        if unique_strategy not in ("direct", "hash_prefilter", "auto"):
             raise ValueError(f"unknown unique_strategy {unique_strategy!r}")
         self.schema = schema
         self.ref_checks = dict(ref_checks or {})
@@ -156,6 +166,9 @@ class SparkValidator:
         self.max_samples = max_samples
         self.fail_fast = fail_fast
         self.unique_strategy = unique_strategy
+        self.broadcast_dup_limit = int(broadcast_dup_limit)
+        # filled per annotate() call: {check_name: "broadcast" | "shuffle"}
+        self.unique_join_plan: dict[str, str] = {}
 
     # ------------------------------------------------------------------ #
     def annotate(self, df: DataFrame) -> tuple[DataFrame, list[CompiledCheck], list[str]]:
@@ -185,7 +198,22 @@ class SparkValidator:
                 continue
             col = g.column
             nn = df.filter(F.col(col).isNotNull())
-            if self.unique_strategy == "hash_prefilter":
+            strategy = self.unique_strategy
+            use_broadcast = True
+            if strategy == "auto":
+                # one column-pruned estimate job; rsd=0.02 keeps the noise
+                # floor tight without an expensive sketch
+                est = nn.agg(
+                    F.count(F.lit(1)).alias("__n"),
+                    F.approx_count_distinct(col, rsd=0.02).alias("__nd"),
+                ).collect()[0]
+                dup_est = max(int(est["__n"]) - int(est["__nd"]), 0)
+                noise = int(0.04 * est["__n"])  # 2·rsd — estimator slack
+                # broadcast only when confident the true dup-key count fits
+                use_broadcast = (dup_est + noise) <= self.broadcast_dup_limit
+                strategy = "direct"
+            self.unique_join_plan[g.name] = "broadcast" if use_broadcast else "shuffle"
+            if strategy == "hash_prefilter":
                 # stage 1: duplicate HASHES — the shuffle carries 8 bytes/row
                 dup_hashes = (
                     nn.groupBy(F.xxhash64(col).alias("__kh"))
@@ -213,7 +241,7 @@ class SparkValidator:
                     .select(F.col(col).alias("__dup_key"))
                 )
             annotated = annotated.join(
-                F.broadcast(dup_keys),
+                F.broadcast(dup_keys) if use_broadcast else dup_keys,
                 on=annotated[col] == F.col("__dup_key"),
                 how="left",
             ).withColumn(
@@ -347,6 +375,12 @@ class SparkValidator:
         """
         annotated, checks, _ = self.annotate(df)
         flag_names = [c.name for c in checks]
+        if not flag_names:
+            # checkless schema: empty result with the stable contract schema
+            # (a bare stack(0,) would be malformed SQL)
+            return df.sparkSession.createDataFrame(
+                [], "check string, n_failed long, n_checked long"
+            )
         aggs = [F.count(F.lit(1)).alias("__n")] + [
             F.sum((~F.col(FLAG_PREFIX + n)).cast("long")).alias(n) for n in flag_names
         ]

@@ -136,8 +136,11 @@ def compile_column_checks(spec: ColumnSpec) -> tuple[list[CompiledCheck], list[G
     if spec.lt is not None:   # C4 core/schema.py:78-79
         add("lt", c < F.lit(spec.lt))
     if spec.pattern is not None:  # C5 core/schema.py:80-81 (anchoring per module docstring)
+        # Anchor with a non-capturing group: a bare "^" + "cat|dog" would
+        # compile to ^cat|dog (alternation binds looser than the anchor) and
+        # wrongly match "hotdog"; ^(?:cat|dog) preserves re.match semantics.
         pat = spec.pattern if spec.pattern_search else (
-            spec.pattern if spec.pattern.startswith("^") else "^" + spec.pattern
+            spec.pattern if spec.pattern.startswith("^") else "^(?:" + spec.pattern + ")"
         )
         add("pattern", c.rlike(pat))
     if spec.isin is not None:  # C6 core/schema.py:82-83 (small literal set → codegen'd IN)

@@ -782,8 +782,11 @@ ORDER BY c_mktsegment, rank
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only (no SQL oracle): LSH-bucketed approximate nearest neighbors —
-    the result depends on the seeded hyperplanes, which SQL cannot replay."""
+    """LSH-bucketed approximate nearest neighbors. Oracled: the seeded
+    hyperplanes are embedded as literals in the SQL (same RandomState(42)
+    draw), the multiprobe-2 probe set is exactly the Hamming-≤2 bucket ball
+    (``bit_count(xor(bucket, qbucket)) <= 2``), and both sides accumulate
+    projections in float64 — so DuckDB replays the full LSH pipeline."""
     from .operators.similarity import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -791,17 +794,67 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, q, k=5, n_bits=8, multiprobe=2)
 
 
+def _ann_lsh_oracle_sql(dim: int = 64, n_bits: int = 8, seed: int = 42, k: int = 5) -> str:
+    """Generate the DuckDB oracle for q_ann_lsh_topk: hyperplanes from the
+    same seeded draw (float32-quantized, exactly the UDF's values) embedded
+    as VALUES literals; bucket assignment, Hamming-≤2 multiprobe, and exact
+    cosine re-rank all in SQL."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((dim, n_bits)).astype("float32")
+    vals = ",".join(
+        f"({b},{p + 1},{float(planes[p, b])!r})"
+        for p in range(dim)
+        for b in range(n_bits)
+    )
+    return f"""
+WITH planes(bit, pos, w) AS (VALUES {vals}),
+e AS (SELECT vec_id, unnest(embedding) AS x, unnest(range(1, len(embedding) + 1)) AS pos FROM embeddings),
+dots AS (SELECT e.vec_id, p.bit, sum(CAST(e.x AS DOUBLE) * p.w) AS d
+         FROM e JOIN planes p ON e.pos = p.pos GROUP BY e.vec_id, p.bit),
+buckets AS (SELECT vec_id, CAST(sum(CASE WHEN d > 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS bucket
+            FROM dots GROUP BY vec_id),
+qb AS (SELECT bucket AS qbucket FROM buckets WHERE vec_id = 0),
+cand AS (SELECT b.vec_id FROM buckets b, qb WHERE bit_count(xor(b.bucket, qb.qbucket)) <= 2),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+u AS (SELECT e.vec_id, CAST(unnest(e.embedding) AS DOUBLE) AS x, CAST(unnest(q.qe) AS DOUBLE) AS y
+      FROM embeddings e, q WHERE e.vec_id IN (SELECT vec_id FROM cand)),
+s AS (SELECT vec_id, sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS sim FROM u GROUP BY vec_id)
+SELECT vec_id, round(sim, 4) AS cosine_sim FROM s ORDER BY sim DESC, vec_id ASC LIMIT {k}
+"""
+
+
 def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: end-to-end MinHash-LSH near-dup pairs on documents (engine
-    path with xxhash64 signatures + banded join + exact Jaccard verify)."""
+    """End-to-end MinHash-LSH near-dup pairs on the FULL documents table
+    (engine path: fused shingle pass → xxhash64 signatures → banded join →
+    exact Jaccard verify over hashed shingle sets).
+
+    Oracled by the exact all-pairs inverted-index Jaccard in DuckDB: the LSH
+    output equals the exact pair set at gate scale because every true pair
+    there has Jaccard ≥ 0.875 (verified), where the per-pair miss probability
+    is (1 - s²)^bands = (1 - 0.875²)^16 < 1e-10 — and the pipeline is fully
+    deterministic, so the verified equality is stable."""
     from .operators.dedup import minhash_dedup_pairs
 
-    # capped so the bench at sf0.1 stays O(sf0.01): the full-corpus path is
-    # exercised by the correctness gate at sf0.01 (5k docs ≡ the cap)
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 5000)
+    d = _t(spark, sf_dir, "documents")
     return minhash_dedup_pairs(
         d, "doc_id", "text", num_hashes=32, bands=16, jaccard_threshold=0.5
     ).orderBy("id_a", "id_b")
+
+
+_SQL_MINHASH_NEAR_DUP = r"""
+WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+           FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(ws, i, i + 4), ' ') AS s
+       FROM w, unnest(generate_series(1, greatest(len(ws) - 4, 1))) AS t(i) WHERE len(ws) > 0),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+j AS (SELECT id_a, id_b, round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard_sim
+      FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b)
+SELECT id_a, id_b, jaccard_sim FROM j WHERE jaccard_sim >= 0.5 ORDER BY id_a, id_b
+"""
 
 
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
@@ -830,8 +883,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "simhash_parity": (q_simhash_parity, _SQL_SIMHASH_PARITY),
     "quality_score_documents": (q_quality_score_documents, _SQL_QUALITY_SCORE_DOCUMENTS),
     "topk_per_group": (q_topk_per_group, _SQL_TOPK_PER_GROUP),
-    "ann_lsh_topk": (q_ann_lsh_topk, None),
-    "minhash_near_dup": (q_minhash_near_dup, None),
+    "ann_lsh_topk": (q_ann_lsh_topk, _ann_lsh_oracle_sql()),
+    "minhash_near_dup": (q_minhash_near_dup, _SQL_MINHASH_NEAR_DUP),
 }
 
 

@@ -181,9 +181,13 @@ def expected_dirty_counts(n_rows: int) -> dict[str, int]:
     bad_len = set(hits(_M_BAD_LEN))
     bad_elem = set(hits(_M_BAD_ELEM))
     # a dup row makes BOTH rows (i and i-1) members of a duplicate key,
-    # unless i-1 is itself nulled (it never is: i-1 ≡ -1 mod nothing small)
+    # UNLESS row i-1 had its own doc_id nulled (i % 991 == 0 with
+    # (i-1) % 997 == 0 — first at i = 164,506 by CRT): then the duplicate
+    # pair never forms, because the only other holder of that doc_id is gone.
     dup_members = set()
     for i in sorted(dup_src):
+        if (i - 1) in null_doc:
+            continue
         dup_members.add(i)
         dup_members.add(i - 1)
     # n_tok range: even multiples → 0 (fails ge), odd → MAX_TOK+7 (fails le)

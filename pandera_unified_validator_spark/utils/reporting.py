@@ -68,13 +68,16 @@ class ValidationReport:
 
     # -- merge (reference utils/reporting.py:58-65: AND validity, concat) ---
     def merge(self, other: "ValidationReport") -> "ValidationReport":
+        """Combine reports over DISJOINT inputs (per-group/per-chunk runs):
+        row totals and invalid totals both sum, keeping the implied error
+        rate consistent."""
         return ValidationReport(
             is_valid=self.is_valid and other.is_valid,
             checks=self.checks + other.checks,
             errors=self.errors + other.errors,
             warnings=self.warnings + other.warnings,
             metadata={**self.metadata, **other.metadata},
-            n_rows=max(self.n_rows, other.n_rows),
+            n_rows=self.n_rows + other.n_rows,
             n_invalid_rows=self.n_invalid_rows + other.n_invalid_rows,
         )
 

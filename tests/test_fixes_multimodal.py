@@ -80,16 +80,12 @@ def test_decode_stub_is_deterministic(spark, media):
     assert all(0.0 <= x <= 1.0 for x in fa["m1"])
 
 
-def test_decode_without_library_raises(spark, media):
-    try:
-        import PIL  # noqa: F401
-
-        pytest.skip("Pillow available in this env")
-    except ImportError:
-        pass
+def test_decode_real_path_raises(spark, media):
+    # real decode is not implemented: fake=False must raise even when an
+    # imaging library happens to be importable (never silently emit stubs)
     with pytest.raises(Exception) as ei:
         decode_image_features(media, fake=False).collect()
-    assert "NotImplementedError" in str(ei.value) or "Pillow" in str(ei.value)
+    assert "NotImplementedError" in str(ei.value) or "not implemented" in str(ei.value)
 
 
 def test_resize_and_frame_sampling_stubs(spark, media):
