@@ -34,6 +34,7 @@ from .operators.profiler import DataProfiler, ProfileReport
 from .operators.drift import DriftReport, compare_profiles, numeric_drift, token_frequency_drift
 from .streaming.runner import PartitionedValidationRunner, StreamingResult
 from .session import get_spark
+from .utils.logging_config import configure_logging, get_logger
 
 __version__ = "0.1.0"
 
@@ -61,4 +62,6 @@ __all__ = [
     "token_frequency_drift",
     "PartitionedValidationRunner",
     "StreamingResult",
+    "configure_logging",
+    "get_logger",
 ]

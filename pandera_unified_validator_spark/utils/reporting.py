@@ -127,14 +127,31 @@ class ValidationReport:
         return s
 
     def to_console(self, verbose: bool = False) -> str:
-        """K3 (reference utils/reporting.py:83-170) — plain-text render."""
+        """K3 (reference utils/reporting.py:83-170) — text render with the
+        reference's table sections: summary, errors-by-column, top-10 errors
+        (with failing-value samples when collected), per-check detail."""
+        bar = "-" * 64
         lines = [
+            bar,
             f"validation: {'PASSED' if self.is_valid else 'FAILED'}",
             f"rows: {self.n_rows:,}  invalid rows: {self.n_invalid_rows:,}",
             f"checks: {len(self.checks)}  failed: {len(self.failed_checks)}",
         ]
         for e in self.errors:
             lines.append(f"  schema error: {e}")
+        by_col = self.errors_by_column()
+        if by_col:
+            lines += [bar, "errors by column"]
+            width = max(len(c) for c in by_col)
+            for col, n in sorted(by_col.items(), key=lambda kv: -kv[1]):
+                lines.append(f"  {col:<{width}}  {n:,}")
+        top = self.top_errors()
+        if top:
+            lines += [bar, "top errors"]
+            width = max(len(n) for n, _ in top)
+            for name, n in top:
+                lines.append(f"  {name:<{width}}  {n:,}")
+        lines.append(bar)
         for c in self.failed_checks if not verbose else self.checks:
             status = "FAIL" if c.n_failed else "ok"
             lines.append(f"  [{status}] {c.name}: {c.n_failed:,}/{c.n_checked:,} failed")
@@ -170,6 +187,68 @@ td,th{{border:1px solid #ccc;padding:4px 10px}}tr.fail{{background:#fdd}}
             with open(filepath, "w") as f:
                 f.write(html)
         return html
+
+    def to_reference_dict(self, suggestions: Sequence[Any] = ()) -> dict[str, Any]:
+        """Reference-fixture-compatible export: the exact field set of the
+        reference's committed ``output/validation_report.json`` (written by
+        reference ``utils/reporting.py:222-261`` — is_valid, summary totals,
+        errors[{message,row,column,context}], warnings, suggestions
+        [{column,description,has_fixer}], metadata, timestamp). Errors here
+        are structured check aggregates rather than per-row pandas/Pydantic
+        exception strings; row is None because counts are aggregated (stable
+        under distribution, SURVEY.md §7.4.1)."""
+        errors: list[dict[str, Any]] = []
+        for e in self.errors:  # schema-level (missing column / dtype / strict)
+            errors.append(
+                {
+                    "message": e,
+                    "row": None,
+                    "column": e.split("'")[1] if "'" in e else None,
+                    "context": {
+                        "stage": "schema",
+                        "count": 1,
+                        "backend": "spark",
+                        "rows": int(self.n_rows),
+                    },
+                }
+            )
+        for c in self.failed_checks:
+            errors.append(
+                {
+                    "message": (
+                        f"check '{c.name}' ({c.check}) failed for "
+                        f"{c.n_failed} of {c.n_checked} rows"
+                    ),
+                    "row": None,
+                    "column": c.column or None,
+                    "context": {
+                        "stage": "checks",
+                        "count": int(c.n_failed),
+                        "backend": "spark",
+                        "rows": int(c.n_checked),
+                    },
+                }
+            )
+        return {
+            "is_valid": self.is_valid,
+            "summary": {
+                "total_errors": len(errors),
+                "total_warnings": len(self.warnings),
+                "total_suggestions": len(suggestions),
+            },
+            "errors": errors,
+            "warnings": list(self.warnings),
+            "suggestions": [
+                {
+                    "column": getattr(s, "column", None),
+                    "description": getattr(s, "description", str(s)),
+                    "has_fixer": getattr(s, "fixer", None) is not None,
+                }
+                for s in suggestions
+            ],
+            "metadata": dict(self.metadata),
+            "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
 
     def to_rows(self) -> list[dict[str, Any]]:
         """K4 (reference utils/reporting.py:263-282): errors as records —

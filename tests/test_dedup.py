@@ -138,3 +138,53 @@ def test_embedding_near_dup(spark, embeddings):
     ).collect()
     found = {(r["id_a"], r["id_b"]) for r in pairs}
     assert {(0, 10000), (1, 10001), (2, 10002)} <= found
+
+
+def test_embedding_near_dup_infers_dim_and_guards_buckets(spark, embeddings):
+    dup = embeddings.filter("vec_id < 3").withColumn("vec_id", F.col("vec_id") + 10000)
+    both = embeddings.unionAll(dup)
+    # dim inferred from data (no dim argument)
+    pairs = embedding_near_dup_pairs(both, threshold=0.999, n_bits=8).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert {(0, 10000), (1, 10001), (2, 10002)} <= found
+    # bucket guard: force every bucket oversized -> second-signature split
+    # still finds identical-vector pairs (same vector -> same refined bucket)
+    guarded = embedding_near_dup_pairs(
+        both, threshold=0.999, n_bits=2, max_bucket_rows=50
+    ).collect()
+    gfound = {(r["id_a"], r["id_b"]) for r in guarded}
+    assert {(0, 10000), (1, 10001), (2, 10002)} <= gfound
+
+
+def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
+    """LSH near-dup output must be a subset of the exact all-pairs result
+    with full recall at this scale (every true pair here has jaccard far
+    above threshold, so (1-s^2)^bands is negligible)."""
+    from pandera_unified_validator_spark.operators.dedup import shingles
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = d.select("doc_id", F.explode(F.array_distinct(shingles("text", 5))).alias("s"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        sh.alias("a").join(sh.alias("b"), "s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = (
+        inter.join(sizes.selectExpr("doc_id as id_a", "n as na"), "id_a")
+        .join(sizes.selectExpr("doc_id as id_b", "n as nb"), "id_b")
+        .withColumn("j", F.round(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 4))
+        .filter("j >= 0.5")
+    )
+    truth = {(r["id_a"], r["id_b"]): r["j"] for r in exact.collect()}
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard_sim"]
+        for r in minhash_dedup_pairs(
+            d, "doc_id", "text", num_hashes=32, bands=16, jaccard_threshold=0.5
+        ).collect()
+    }
+    assert set(got) <= set(truth)          # no false positives (exact verify)
+    recall = len(got) / max(len(truth), 1)
+    assert recall == 1.0, f"recall {recall}: missed {set(truth) - set(got)}"
+    assert got == truth                    # values identical (hashed-set jaccard)

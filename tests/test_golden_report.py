@@ -67,3 +67,55 @@ def test_golden_report_shape_and_values(spark):
         assert c["n_checked"] == N
     # report is JSON-serializable end-to-end
     assert json.loads(res.report.to_json())["summary"]["n_rows"] == N
+
+
+def _field_shape(x):
+    """Recursive field-set signature: dict keys at every level; lists
+    collapse to their first element's shape (the fixture is homogeneous)."""
+    if isinstance(x, dict):
+        return {k: _field_shape(v) for k, v in x.items()}
+    if isinstance(x, list):
+        return [_field_shape(x[0])] if x else []
+    return "*"
+
+
+def test_reference_fixture_field_parity(spark):
+    """Field-for-field parity with the reference's committed golden fixture
+    (reference output/validation_report.json, written by its
+    utils/reporting.py:222-261): same top-level keys, same summary keys, same
+    error/suggestion record fields, same context fields."""
+    import os
+
+    import pytest
+
+    fixture_path = "/root/reference/output/validation_report.json"
+    if not os.path.exists(fixture_path):
+        pytest.skip("reference fixture not available")
+    ref = json.load(open(fixture_path))
+
+    from pandera_unified_validator_spark.operators.fixes import suggest_fixes
+    from pandera_unified_validator_spark.plans.schema import SchemaBuilder
+
+    # input engineered to produce every fixture section: schema error
+    # (missing column) + failed checks + suggestions
+    df = token_table(spark, 500, dirty=True, num_partitions=2).drop("source")
+    schema = token_schema()
+    report = SparkValidator(schema).validate(df).report
+    sugg = suggest_fixes(report, schema)
+    got = report.to_reference_dict(suggestions=sugg)
+
+    ref_shape, got_shape = _field_shape(ref), _field_shape(got)
+    assert set(ref_shape) == set(got_shape)                      # top level
+    assert set(ref_shape["summary"]) == set(got_shape["summary"])
+    assert ref_shape["errors"][0].keys() == got_shape["errors"][0].keys()
+    assert (
+        set(ref_shape["errors"][0]["context"])
+        == set(got_shape["errors"][0]["context"])
+    )
+    assert ref_shape["suggestions"][0].keys() == got_shape["suggestions"][0].keys()
+    # semantic sanity: totals agree with their sections on both sides
+    for d in (ref, got):
+        assert d["summary"]["total_errors"] == len(d["errors"])
+        assert d["summary"]["total_suggestions"] == len(d["suggestions"])
+    assert got["is_valid"] is False and len(got["errors"]) > 0
+    assert json.dumps(got)  # serializable

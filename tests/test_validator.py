@@ -216,3 +216,75 @@ def test_unique_strategy_validation():
 
     with _pytest.raises(ValueError):
         SparkValidator(token_schema(), unique_strategy="bogus")
+
+
+def test_unique_auto_falls_back_on_heavy_duplication(spark):
+    """90%-duplicate key column: 'auto' must NOT broadcast the dup-key set
+    (driver-OOM shape at scale) and must still count correctly via the
+    shuffled join-back."""
+    from pyspark.sql import functions as F
+
+    from pandera_unified_validator_spark.plans.schema import SchemaBuilder
+
+    n = 10_000
+    df = spark.range(n).select(
+        F.pmod(F.col("id"), F.lit(n // 10)).cast("long").alias("k")  # every key ~10x
+    )
+    v = SparkValidator(
+        SchemaBuilder("t").column("k", "int", unique=True).build(),
+        unique_strategy="auto",
+        broadcast_dup_limit=100,  # far below the ~1000 dup keys
+    )
+    res = v.validate(df)
+    assert v.unique_join_plan["k__unique"] == "shuffle"
+    by = {c.name: c.n_failed for c in res.report.checks}
+    assert by["k__unique"] == n  # every row is a duplicate member
+    # physical plan: the dup-key join-back must not be a forced broadcast
+    plan = res.flags._jdf.queryExecution().executedPlan().toString()
+    assert "ResolvedHint" not in plan
+
+
+def test_unique_auto_broadcasts_on_clean_data(spark):
+    from pyspark.sql import functions as F
+
+    from pandera_unified_validator_spark.plans.schema import SchemaBuilder
+
+    df = spark.range(5_000).select(F.col("id").alias("k"))
+    v = SparkValidator(
+        SchemaBuilder("t").column("k", "int", unique=True).build(),
+        unique_strategy="auto",
+    )
+    res = v.validate(df)
+    assert v.unique_join_plan["k__unique"] == "broadcast"
+    assert res.report.is_valid
+
+
+def test_check_counts_empty_schema(spark):
+    """A checkless schema must return an empty typed DataFrame, not
+    malformed stack(0,) SQL."""
+    from pandera_unified_validator_spark.plans.schema import SchemaBuilder
+
+    df = spark.range(10).selectExpr("id as k")
+    out = SparkValidator(SchemaBuilder("t").build()).check_counts(df)
+    assert out.columns == ["check", "n_failed", "n_checked"]
+    assert out.count() == 0
+
+
+def test_console_sections_logging_and_reference_export(spark, dirty):
+    res = make_validator(spark).validate(dirty)
+    out = res.report.to_console()
+    assert "errors by column" in out and "top errors" in out
+    rd = res.report.to_reference_dict()
+    assert set(rd) == {
+        "is_valid", "summary", "errors", "warnings", "suggestions",
+        "metadata", "timestamp",
+    }
+    assert rd["summary"]["total_errors"] == len(rd["errors"]) > 0
+
+    from pandera_unified_validator_spark import configure_logging, get_logger
+
+    lg = configure_logging(level="DEBUG")
+    assert lg.level == 10 and len(lg.handlers) == 1
+    configure_logging(level="INFO")  # idempotent: handlers replaced
+    assert len(lg.handlers) == 1
+    assert get_logger("x").name.endswith(".x")
