@@ -115,9 +115,12 @@ def minhash_signatures_df(
     (the doc's distinct shingle-hash set, collected in the SAME pass) so
     downstream exact-Jaccard verification needs no second shingle build.
     Docs with no shingles drop out (no signature to compare)."""
+    # no array_distinct before the explode: min() over a multiset equals min
+    # over the set, and collect_set dedupes — the distinct pass would only
+    # add an interpreted array scan
     ex = df.select(
         F.col(id_col),
-        F.explode(F.array_distinct(shingles(text_col, shingle_k))).alias("__s"),
+        F.explode(shingles(text_col, shingle_k)).alias("__s"),
     ).select(F.col(id_col), F.xxhash64("__s").alias("__h0"))
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("__h0"))).alias(f"__h{i}")

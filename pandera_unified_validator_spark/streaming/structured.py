@@ -17,7 +17,12 @@ from pyspark.sql import functions as F
 from ..operators.validator import FLAG_PREFIX, SparkValidator
 from ..utils.reporting import ValidationMetrics
 
-__all__ = ["StreamingValidationSink", "validate_stream", "windowed_error_rates"]
+__all__ = [
+    "StreamingValidationSink",
+    "validate_stream",
+    "windowed_error_rates",
+    "stateful_error_monitor",
+]
 
 
 class StreamingValidationSink:
@@ -89,6 +94,76 @@ def windowed_error_rates(
         .groupBy(win.alias("window"))
         .agg(*aggs)
         .withColumn("error_rate", F.col("n_invalid") / F.col("n_rows"))
+    )
+
+
+def stateful_error_monitor(
+    stream_df: DataFrame,
+    validator: SparkValidator,
+    key_col: str,
+    *,
+    error_threshold: float = 0.2,
+    min_rows: int = 100,
+) -> DataFrame:
+    """Custom STATEFUL streaming operator (``applyInPandasWithState``): per
+    ``key_col`` group (e.g. ``source``), carry running validation totals
+    across micro-batches and trip a sticky circuit-breaker flag once the
+    cumulative error rate exceeds ``error_threshold`` (after ``min_rows``
+    rows) — the streaming analogue of the runner's early-termination
+    breaker, with state Spark checkpoints and restores for exactly-once
+    recovery. Rows are validated by the usual one-pass check plan BEFORE
+    keyed grouping, so the Python state function only sees (key, ok) pairs,
+    never payload columns.
+
+    Returns a streaming DataFrame (key, batch_rows, batch_invalid,
+    total_rows, total_invalid, error_rate, tripped); attach with output
+    mode "update".
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    annotated, _checks, _ = validator.annotate(stream_df)
+    sel = annotated.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col("__puv_row_ok").alias("__ok"),
+    )
+    out_schema = (
+        "key string, batch_rows long, batch_invalid long, total_rows long, "
+        "total_invalid long, error_rate double, tripped boolean"
+    )
+    state_schema = "total_rows long, total_invalid long, tripped boolean"
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            total_rows, total_invalid, tripped = state.get
+        else:
+            total_rows, total_invalid, tripped = 0, 0, False
+        batch_rows = batch_invalid = 0
+        for pdf in pdfs:
+            batch_rows += len(pdf)
+            batch_invalid += int((~pdf["__ok"].astype(bool)).sum())
+        total_rows += batch_rows
+        total_invalid += batch_invalid
+        rate = total_invalid / total_rows if total_rows else 0.0
+        tripped = bool(
+            tripped or (total_rows >= min_rows and rate > error_threshold)
+        )
+        state.update((total_rows, total_invalid, tripped))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "batch_rows": [batch_rows],
+                "batch_invalid": [batch_invalid],
+                "total_rows": [total_rows],
+                "total_invalid": [total_invalid],
+                "error_rate": [rate],
+                "tripped": [tripped],
+            }
+        )
+
+    return sel.groupBy("key").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
 
 

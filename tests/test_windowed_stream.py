@@ -61,3 +61,52 @@ def test_streaming_skips_unique_check(spark, tmp_path):
     batch = spark.read.parquet(src)
     _, bchecks, _ = v.annotate(batch)
     assert "id__unique" in [c.name for c in bchecks]
+
+
+def test_stateful_error_monitor(spark, tmp_path):
+    """applyInPandasWithState: per-key running totals persist across
+    micro-batches; the breaker flag trips once the cumulative error rate
+    crosses the threshold and stays tripped."""
+    from pandera_unified_validator_spark.streaming.structured import (
+        stateful_error_monitor,
+    )
+
+    src = str(tmp_path / "statesrc")
+    # file 1: clean batch for both keys; file 2: key 'b' goes 100% bad
+    spark.createDataFrame(
+        [("a", 1.0)] * 5 + [("b", 1.0)] * 5, "k string, value double"
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [("a", 2.0)] * 5 + [("b", -1.0)] * 15, "k string, value double"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    schema = SchemaBuilder("s").column("value", "float", ge=0.0).build()
+    stream = (
+        spark.readStream.schema("k string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stateful_error_monitor(
+        stream, SparkValidator(schema), "k", error_threshold=0.5, min_rows=10
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("state_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM state_out").collect()
+    # final state per key = max total_rows row (batch order is not guaranteed,
+    # but totals are order-independent after the drain)
+    final = {}
+    for r in rows:
+        if r["key"] not in final or r["total_rows"] > final[r["key"]]["total_rows"]:
+            final[r["key"]] = r
+    assert final["a"]["total_rows"] == 10 and final["a"]["total_invalid"] == 0
+    assert final["a"]["tripped"] is False
+    assert final["b"]["total_rows"] == 20 and final["b"]["total_invalid"] == 15
+    assert final["b"]["tripped"] is True
+    assert final["b"]["error_rate"] == 0.75
