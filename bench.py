@@ -93,6 +93,22 @@ def main() -> None:
     extras = _token_bench(spark, token_rows)
     timings["token_validation"] = extras["token_validate_sec"]
 
+    # surface the recorded N->4N executor scaling evidence (produced by
+    # tools/bench_scaling.py --standalone; see BENCH/BASELINE.md)
+    scaling_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling_standalone.json"
+    )
+    scaling = None
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            rec = json.load(f)
+        scaling = {
+            "protocol": "standalone executor processes (see BENCH/BASELINE.md)",
+            **{
+                k: v["scaling_efficiency"] for k, v in rec.get("summary", {}).items()
+            },
+        }
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "validation_suite_runtime",
@@ -103,6 +119,8 @@ def main() -> None:
         "cpus": cpus,
         **extras,
     }
+    if scaling:
+        out["executor_scaling_efficiency"] = scaling
     print(json.dumps(out))
     spark.stop()
 
