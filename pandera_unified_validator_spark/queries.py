@@ -857,6 +857,85 @@ SELECT id_a, id_b, jaccard_sim FROM j WHERE jaccard_sim >= 0.5 ORDER BY id_a, id
 """
 
 
+def q_profile_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: pairwise Pearson correlations in ONE aggregation (the same
+    F.corr expressions DataProfiler folds into its single profiling agg,
+    operators/profiler.py)."""
+    return _t(spark, sf_dir, "lineitem").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.corr("l_extendedprice", "l_discount"), 4).alias("corr_price_disc"),
+        F.round(F.corr("l_quantity", "l_discount"), 4).alias("corr_qty_disc"),
+    )
+
+
+_SQL_PROFILE_CORRELATIONS = """
+SELECT round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       round(corr(l_extendedprice, l_discount), 4) AS corr_price_disc,
+       round(corr(l_quantity, l_discount), 4) AS corr_qty_disc
+FROM lineitem
+"""
+
+
+def q_categorical_values_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: categorical value collection (sort_array(collect_set) — the
+    profiler's categorical path, operators/profiler.py)."""
+    return (
+        _t(spark, sf_dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(F.concat_ws("|", F.sort_array(F.collect_set("n_name"))).alias("names"))
+        .orderBy("n_regionkey")
+    )
+
+
+_SQL_CATEGORICAL_VALUES_NATION = """
+SELECT n_regionkey, string_agg(DISTINCT n_name, '|' ORDER BY n_name) AS names
+FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+"""
+
+
+def q_unique_ratio_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: exact distinct counts + unique ratio (the profiler's exact
+    uniqueness path; HLL is the approximate variant)."""
+    return _t(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("text").alias("n_distinct_text"),
+        F.round(F.countDistinct("text") / F.count(F.lit(1)), 4).alias(
+            "text_unique_ratio"
+        ),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+_SQL_UNIQUE_RATIO_DOCUMENTS = """
+SELECT count(*) AS n, count(DISTINCT text) AS n_distinct_text,
+       round(count(DISTINCT text) * 1.0 / count(*), 4) AS text_unique_ratio,
+       count(DISTINCT lang) AS n_langs
+FROM documents
+"""
+
+
+def q_events_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14: timeliness/freshness bounds as deterministic epoch stats (the
+    profiler's timeliness component uses the same min/max-timestamp agg)."""
+    return _t(spark, sf_dir, "events").agg(
+        F.unix_timestamp(F.min("ts")).alias("min_ts_epoch"),
+        F.unix_timestamp(F.max("ts")).alias("max_ts_epoch"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias(
+            "span_sec"
+        ),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+_SQL_EVENTS_FRESHNESS = """
+SELECT CAST(epoch(min(ts)) AS BIGINT) AS min_ts_epoch,
+       CAST(epoch(max(ts)) AS BIGINT) AS max_ts_epoch,
+       CAST(epoch(max(ts)) - epoch(min(ts)) AS BIGINT) AS span_sec,
+       count(*) AS n_events
+FROM events
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "check_nulls_lineitem": (q_check_nulls_lineitem, _SQL_NULLS_LINEITEM),
     "check_ranges_lineitem": (q_check_ranges_lineitem, _SQL_RANGES_LINEITEM),
@@ -885,6 +964,13 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "topk_per_group": (q_topk_per_group, _SQL_TOPK_PER_GROUP),
     "ann_lsh_topk": (q_ann_lsh_topk, _ann_lsh_oracle_sql()),
     "minhash_near_dup": (q_minhash_near_dup, _SQL_MINHASH_NEAR_DUP),
+    "profile_correlations": (q_profile_correlations, _SQL_PROFILE_CORRELATIONS),
+    "categorical_values_nation": (
+        q_categorical_values_nation,
+        _SQL_CATEGORICAL_VALUES_NATION,
+    ),
+    "unique_ratio_documents": (q_unique_ratio_documents, _SQL_UNIQUE_RATIO_DOCUMENTS),
+    "events_freshness": (q_events_freshness, _SQL_EVENTS_FRESHNESS),
 }
 
 
