@@ -27,6 +27,8 @@ __all__ = [
     "histogram_counts",
     "psi_from_counts",
     "chi_square_from_counts",
+    "ks_statistic_exact",
+    "ks_from_histograms",
     "numeric_drift",
     "token_frequency_drift",
 ]
@@ -90,6 +92,81 @@ def psi_df(
     return (
         j.crossJoin(tot)
         .agg(F.round(F.sum((q - p) * F.log(q / p)), round_to).alias("psi"))
+    )
+
+
+def ks_statistic_exact(
+    baseline: DataFrame,
+    current: DataFrame,
+    column: str,
+    round_to: int = 4,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic as a one-row DataFrame:
+    union both sides tagged, group by value (ties collapse), cumulative
+    per-side counts over the value order, D = max |F_a − F_b|.
+
+    The cumulative step is a global-ordered window — a single-task sort over
+    the DISTINCT values only (post-groupBy), fine up to millions of distinct
+    values; for the 10^12-row regime use ``ks_from_histograms`` (bucketed
+    ECDF over ≤K buckets, everything map-side)."""
+    from pyspark.sql import Window
+
+    va = (
+        baseline.select(F.col(column).cast("double").alias("v"))
+        .where("v IS NOT NULL")
+        .select("v", F.lit(1).alias("__a"), F.lit(0).alias("__b"))
+    )
+    vb = (
+        current.select(F.col(column).cast("double").alias("v"))
+        .where("v IS NOT NULL")
+        .select("v", F.lit(0).alias("__a"), F.lit(1).alias("__b"))
+    )
+    g = va.unionAll(vb).groupBy("v").agg(
+        F.sum("__a").alias("ca"), F.sum("__b").alias("cb")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = g.select(
+        F.sum("ca").over(w).alias("fa"), F.sum("cb").over(w).alias("fb")
+    )
+    tot = cum.agg(F.max("fa").alias("na"), F.max("fb").alias("nb"))
+    return cum.crossJoin(tot).agg(
+        F.round(
+            F.max(F.abs(F.col("fa") / F.col("na") - F.col("fb") / F.col("nb"))),
+            round_to,
+        ).alias("ks")
+    )
+
+
+def ks_from_histograms(
+    baseline: DataFrame,
+    current: DataFrame,
+    column: str,
+    lo: float,
+    hi: float,
+    bins: int,
+    round_to: int = 4,
+) -> DataFrame:
+    """Approximate KS over shared-edge histograms — the 100 TB path: two
+    map-side-combined histogram aggs, then the cumulative/max arithmetic over
+    ≤``bins`` rows (trivially cheap window). Error ≤ the mass of the widest
+    bucket; tighten with more bins."""
+    from pyspark.sql import Window
+
+    e = histogram_df(baseline, column, lo, hi, bins).withColumnRenamed("n", "ne")
+    a = histogram_df(current, column, lo, hi, bins).withColumnRenamed("n", "na")
+    j = e.join(a, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("ne", F.lit(0)).alias("ne"),
+        F.coalesce("na", F.lit(0)).alias("na"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = j.select(F.sum("ne").over(w).alias("fe"), F.sum("na").over(w).alias("fa"))
+    tot = cum.agg(F.max("fe").alias("te"), F.max("fa").alias("ta"))
+    return cum.crossJoin(tot).agg(
+        F.round(
+            F.max(F.abs(F.col("fe") / F.col("te") - F.col("fa") / F.col("ta"))),
+            round_to,
+        ).alias("ks")
     )
 
 

@@ -936,6 +936,32 @@ FROM events
 """
 
 
+def q_ks_documents_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov over n_chars (even vs odd doc_id)
+    — the third drift statistic next to PSI and chi-square."""
+    from .operators.drift import ks_statistic_exact
+
+    d = _t(spark, sf_dir, "documents")
+    return ks_statistic_exact(
+        d.filter(F.col("doc_id") % 2 == 0), d.filter(F.col("doc_id") % 2 == 1), "n_chars"
+    )
+
+
+_SQL_KS_DOCUMENTS_NCHARS = """
+WITH u AS (
+  SELECT CAST(n_chars AS DOUBLE) AS v, 1 AS a, 0 AS b FROM documents
+  WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL
+  UNION ALL
+  SELECT CAST(n_chars AS DOUBLE), 0, 1 FROM documents
+  WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL
+),
+g AS (SELECT v, sum(a) AS ca, sum(b) AS cb FROM u GROUP BY v),
+c AS (SELECT sum(ca) OVER (ORDER BY v) AS fa, sum(cb) OVER (ORDER BY v) AS fb FROM g),
+t AS (SELECT max(fa) AS na, max(fb) AS nb FROM c)
+SELECT round(max(abs(fa * 1.0 / na - fb * 1.0 / nb)), 4) AS ks FROM c, t
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "check_nulls_lineitem": (q_check_nulls_lineitem, _SQL_NULLS_LINEITEM),
     "check_ranges_lineitem": (q_check_ranges_lineitem, _SQL_RANGES_LINEITEM),
@@ -971,6 +997,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "unique_ratio_documents": (q_unique_ratio_documents, _SQL_UNIQUE_RATIO_DOCUMENTS),
     "events_freshness": (q_events_freshness, _SQL_EVENTS_FRESHNESS),
+    "ks_documents_nchars": (q_ks_documents_nchars, _SQL_KS_DOCUMENTS_NCHARS),
 }
 
 

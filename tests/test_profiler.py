@@ -153,3 +153,22 @@ def test_array_column_profile_and_suggestion(spark):
     assert spec.element_ge == st["element_min"]
     assert spec.element_lt == st["element_max"] + 1
     assert SparkValidator(sug).validate(df).is_valid
+
+
+def test_ks_statistics(spark):
+    """Exact KS vs a hand-computed small case; histogram KS converges to the
+    exact value as bins grow."""
+    from pandera_unified_validator_spark.operators.drift import (
+        ks_from_histograms,
+        ks_statistic_exact,
+    )
+
+    a = spark.createDataFrame([(float(v),) for v in [1, 2, 3, 4]], "x double")
+    b = spark.createDataFrame([(float(v),) for v in [3, 4, 5, 6]], "x double")
+    # ECDFs: at v=2 F_a=0.5, F_b=0 -> D=0.5
+    got = ks_statistic_exact(a, b, "x").collect()[0]["ks"]
+    assert got == 0.5
+    # identical samples -> 0
+    assert ks_statistic_exact(a, a, "x").collect()[0]["ks"] == 0.0
+    approx = ks_from_histograms(a, b, "x", 1.0, 6.0, 100).collect()[0]["ks"]
+    assert abs(approx - 0.5) <= 0.01
