@@ -839,7 +839,7 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return minhash_dedup_pairs(
-        d, "doc_id", "text", num_hashes=32, bands=16, jaccard_threshold=0.5
+        d, "doc_id", "text", num_hashes=16, bands=8, jaccard_threshold=0.5
     ).orderBy("id_a", "id_b")
 
 
