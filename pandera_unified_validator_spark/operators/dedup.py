@@ -43,30 +43,42 @@ def dedup_exact(
 ) -> DataFrame:
     """Keep one row per distinct value of ``cols`` (default: all columns).
 
-    The grouping key is (64-bit xxhash digest, exact dedup values): the
-    digest makes hash-table probes cheap, while the exact values guarantee
-    two distinct rows that collide on the digest land in different groups —
-    no silent merge (expected n²/2⁶⁵ collisions = tens of thousands at
-    10^12 rows if grouped by digest alone). The winner per group is the row
-    with the smallest ``tiebreak`` (deterministic) via min_by over one
-    hash-partitioned aggregation — no window sort. The full winner row must
-    cross the shuffle once (it is the output); partial aggregation keeps
-    per-partition traffic to one candidate row per distinct key.
+    Grouping is by the EXACT key struct, so two distinct rows can never
+    silently merge (no digest-collision hazard). Each input column crosses
+    the shuffle exactly ONCE: the dedup columns travel inside ``__key``, the
+    remaining columns inside the ``min_by`` payload — round 2 shipped the
+    dedup columns twice (``__key`` AND the full-row payload) plus a
+    redundant 8-byte digest; for wide text keys that doubled exchange bytes.
+    Spark's hash aggregate hashes the struct key internally, so the explicit
+    digest bought nothing. The winner per group is the row with the smallest
+    ``tiebreak`` (deterministic) via min_by over one hash-partitioned
+    aggregation — no window sort; partial aggregation keeps per-partition
+    traffic to one candidate row per distinct key.
     """
     cols = list(cols) if cols else df.columns
-    digest = F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols])
     if tiebreak is None:
         tiebreak = cols[0]
-    packed = df.select(
-        digest.alias("__digest"),
-        F.struct(*[F.col(c) for c in cols]).alias("__key"),
-        F.col(tiebreak).alias("__tb"),
-        F.struct(*df.columns).alias("__row"),
+    key_set = set(cols)
+    rest = [c for c in df.columns if c not in key_set]
+    if not rest:
+        # key covers every column: surviving rows are fully identical, a
+        # map-side-combined distinct is the minimal plan
+        packed = df.select(F.struct(*[F.col(c) for c in cols]).alias("__key"))
+        kept = packed.distinct()
+    else:
+        packed = df.select(
+            F.struct(*[F.col(c) for c in cols]).alias("__key"),
+            F.struct(*[F.col(c) for c in rest]).alias("__rest"),
+            F.col(tiebreak).alias("__tb"),
+        )
+        kept = packed.groupBy("__key").agg(
+            F.min_by("__rest", F.col("__tb")).alias("__rest")
+        )
+    src = {c: "__key" for c in cols}
+    src.update({c: "__rest" for c in rest})
+    return kept.select(
+        *[F.col(src[c]).getField(c).alias(c) for c in df.columns]
     )
-    kept = packed.groupBy("__digest", "__key").agg(
-        F.min_by("__row", F.col("__tb")).alias("__row")
-    )
-    return kept.select("__row.*")
 
 
 # ---------------------------------------------------------------- minhash --
@@ -84,16 +96,22 @@ def shingles(text: Column | str, k: int = 5) -> Column:
 
 def minhash_signature(text: Column | str, num_hashes: int = 64, shingle_k: int = 5) -> Column:
     """MinHash signature as a single Column: array of ``num_hashes``
-    min-over-shingles of seeded xxhash64.
+    min-over-shingles, each seeded variant derived from the 8-byte base hash
+    — ``min_s xxhash64(seed, xxhash64(s))`` — the SAME scheme as
+    ``minhash_signatures_df``, so signatures from the two paths are
+    bit-identical and freely mixable (banding sigs from both is safe;
+    ``tests/test_dedup.py`` asserts parity).
 
     NOTE: nested higher-order functions run interpreted — fine for ad-hoc
     per-row use, but the corpus-scale path is ``minhash_signatures_df``
     (explode → codegen'd hash columns → map-side-combined groupBy-min),
     measured ~7x faster."""
     sh = shingles(text, shingle_k)
+    # hash each shingle string once; seeded variants hash the 8-byte long
+    shh = F.transform(sh, lambda s: F.xxhash64(s))
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda seed: F.array_min(F.transform(sh, lambda s: F.xxhash64(seed, s))),
+        lambda seed: F.array_min(F.transform(shh, lambda h: F.xxhash64(seed, h))),
     )
     return F.when(F.size(sh) > 0, sig)
 
@@ -199,6 +217,14 @@ def minhash_dedup_pairs(
     """End-to-end MinHash LSH near-dup: signature → band buckets → candidate
     pairs → exact shingle-Jaccard verification ≥ threshold.
     Returns (id_a, id_b, jaccard_sim).
+
+    Recall: with b bands of r = num_hashes/b rows, a pair at true Jaccard s
+    is MISSED by every band with probability (1 − s^r)^b. Defaults
+    (64 hashes, 16 bands, r=4): miss ≈ 2e-3 at s=0.8 (recall ≥ 0.997), and
+    the S-curve midpoint sits at s ≈ (1/b)^(1/r) ≈ 0.5 — pairs well below
+    threshold rarely even become candidates. Precision is exact: every
+    candidate is verified with true Jaccard before emission. Tighter
+    thresholds want more rows/band; lower thresholds want more bands.
 
     ONE shingle pass: the signature aggregation also collects each doc's
     distinct shingle-hash set (``include_shingle_hashes``), so verification
@@ -321,22 +347,27 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     n_bits: int = 12,
     seed: int = 42,
-    max_bucket_rows: int | None = None,
+    max_bucket_rows: int | None = 4096,
 ) -> DataFrame:
     """Embedding near-dup: random-hyperplane LSH bucket (Arrow UDF) →
     within-bucket pairs → exact cosine ≥ threshold. High-cosine pairs agree
     on most hyperplane signs, so same-bucket candidacy catches near-dups;
     recall/cost trades with ``n_bits``.
 
-    ``dim`` is inferred from the first row when not given. ``max_bucket_rows``
-    guards against a degenerate bucket (skewed embeddings → one hot bucket →
-    quadratic join): buckets above the cap are refined with a second seeded
-    signature, bounding per-bucket work at a bounded recall cost (pairs split
-    across sub-buckets are missed — documented trade, not silent)."""
+    ``dim`` is inferred from the first NON-NULL vector when not given (a
+    leading NULL row must not collapse dim to 1 and shape-crash the UDF).
+    ``max_bucket_rows`` guards against a degenerate bucket (skewed
+    embeddings → one hot bucket → quadratic join): buckets above the cap are
+    refined with a second seeded signature, bounding per-bucket work at a
+    bounded recall cost (pairs split across sub-buckets are missed —
+    documented trade, not silent). ON by default (4096 ≈ 8M pairs/bucket
+    worst case) so skewed corpora can't quadratic-blow silently; pass
+    ``None`` to disable."""
+    df = df.where(F.col(vec_col).isNotNull())  # null vectors can't match
     if dim is None:
         first = df.select(vec_col).first()
-        # empty input: any dim works, no UDF batch ever runs
-        dim = len(first[0]) if first is not None and first[0] is not None else 1
+        # empty/all-null input: any dim works, no UDF batch ever runs
+        dim = len(first[0]) if first is not None else 1
     sig = hyperplane_signature_udf(dim, n_bits, seed)
     tagged = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")).withColumn(
         "__bucket", sig(F.col("__v")).cast("string")

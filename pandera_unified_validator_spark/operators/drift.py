@@ -108,7 +108,10 @@ def ks_statistic_exact(
     The cumulative step is a global-ordered window — a single-task sort over
     the DISTINCT values only (post-groupBy), fine up to millions of distinct
     values; for the 10^12-row regime use ``ks_from_histograms`` (bucketed
-    ECDF over ≤K buckets, everything map-side)."""
+    ECDF over ≤K buckets, everything map-side).
+
+    Contract: ``ks`` is NULL when either side has zero non-null rows (the
+    statistic is undefined there; previously this silently produced NaN)."""
     from pyspark.sql import Window
 
     va = (
@@ -131,7 +134,12 @@ def ks_statistic_exact(
     tot = cum.agg(F.max("fa").alias("na"), F.max("fb").alias("nb"))
     return cum.crossJoin(tot).agg(
         F.round(
-            F.max(F.abs(F.col("fa") / F.col("na") - F.col("fb") / F.col("nb"))),
+            F.max(
+                F.when(
+                    (F.col("na") > 0) & (F.col("nb") > 0),
+                    F.abs(F.col("fa") / F.col("na") - F.col("fb") / F.col("nb")),
+                )
+            ),
             round_to,
         ).alias("ks")
     )
@@ -148,10 +156,18 @@ def ks_from_histograms(
 ) -> DataFrame:
     """Approximate KS over shared-edge histograms — the 100 TB path: two
     map-side-combined histogram aggs, then the cumulative/max arithmetic over
-    ≤``bins`` rows (trivially cheap window). Error ≤ the mass of the widest
-    bucket; tighten with more bins."""
-    from pyspark.sql import Window
+    ≤``bins`` rows. Error ≤ the mass of the widest bucket; tighten with more
+    bins. ``ks`` is NULL when either side has zero in-range rows (undefined
+    statistic, same contract as the exact path).
 
+    The cumulative step collapses the joined histogram to ONE row
+    (``sort_array(collect_list(...))`` over ≤ bins structs) and runs the
+    running-sum/max-|ΔECDF| scan as an ``F.aggregate`` fold over that array —
+    no WindowExec in the plan at all (a global-ordered window moves data to
+    one task and warns; a constant ``partitionBy(lit)`` gets constant-folded
+    back to the same warning-emitting form — measured r3) and each input is
+    scanned exactly once. The fold is interpreted, but over ≤ bins elements
+    on one row that is nanoseconds."""
     e = histogram_df(baseline, column, lo, hi, bins).withColumnRenamed("n", "ne")
     a = histogram_df(current, column, lo, hi, bins).withColumnRenamed("n", "na")
     j = e.join(a, "bucket", "full_outer").select(
@@ -159,15 +175,38 @@ def ks_from_histograms(
         F.coalesce("ne", F.lit(0)).alias("ne"),
         F.coalesce("na", F.lit(0)).alias("na"),
     )
-    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = j.select(F.sum("ne").over(w).alias("fe"), F.sum("na").over(w).alias("fa"))
-    tot = cum.agg(F.max("fe").alias("te"), F.max("fa").alias("ta"))
-    return cum.crossJoin(tot).agg(
-        F.round(
-            F.max(F.abs(F.col("fe") / F.col("te") - F.col("fa") / F.col("ta"))),
-            round_to,
-        ).alias("ks")
+    row = j.agg(
+        F.sort_array(F.collect_list(F.struct("bucket", "ne", "na"))).alias("h")
     )
+    zl = F.lit(0).cast("long")
+    te = F.aggregate(F.col("h"), zl, lambda acc, s: acc + s["ne"])
+    ta = F.aggregate(F.col("h"), zl, lambda acc, s: acc + s["na"])
+    row = row.select("h", te.alias("te"), ta.alias("ta"))
+    # fold state: running counts (fe, fa) + best |Fe/te - Fa/ta| so far; d
+    # starts NULL and stays NULL when either side is empty (greatest skips
+    # NULLs, the when() never fires) — the documented undefined-KS contract
+    ks = F.aggregate(
+        F.col("h"),
+        F.struct(
+            zl.alias("fe"), zl.alias("fa"), F.lit(None).cast("double").alias("d")
+        ),
+        lambda acc, s: F.struct(
+            (acc["fe"] + s["ne"]).alias("fe"),
+            (acc["fa"] + s["na"]).alias("fa"),
+            F.greatest(
+                acc["d"],
+                F.when(
+                    (F.col("te") > 0) & (F.col("ta") > 0),
+                    F.abs(
+                        (acc["fe"] + s["ne"]) / F.col("te")
+                        - (acc["fa"] + s["na"]) / F.col("ta")
+                    ),
+                ),
+            ).alias("d"),
+        ),
+        lambda acc: acc["d"],
+    )
+    return row.select(F.round(ks, round_to).alias("ks"))
 
 
 # ---------------------------------------------------------------- D1-D3 ----

@@ -52,10 +52,21 @@ def lsh_topk(
     within ``multiprobe`` Hamming flips, exact-rerank only those rows.
 
     At 10^12 vectors the probe is a partition-pruned scan when the corpus is
-    written partitioned by bucket; here it is a filter."""
+    written partitioned by bucket; here it is a filter.
+
+    ``multiprobe`` is the Hamming radius of the probe ball (any 0..n_bits);
+    the ball has sum_{r<=multiprobe} C(n_bits, r) buckets, so large radii
+    approach a full scan — values above ``n_bits`` are rejected rather than
+    silently capped."""
+    import itertools
+
     import numpy as np
 
     dim = len(query)
+    if not 0 <= multiprobe <= n_bits:
+        raise ValueError(
+            f"multiprobe must be in [0, n_bits={n_bits}], got {multiprobe}"
+        )
     sig = hyperplane_signature_udf(dim, n_bits, seed)
     rng = np.random.RandomState(seed)
     # same quantize-then-float64 discipline as hyperplane_signature_udf so
@@ -66,13 +77,12 @@ def lsh_topk(
     qbucket = int(qbits @ weights)
 
     probes = {qbucket}
-    if multiprobe >= 1:
-        for j in range(n_bits):
-            probes.add(qbucket ^ (1 << j))
-    if multiprobe >= 2:
-        for i in range(n_bits):
-            for j in range(i + 1, n_bits):
-                probes.add(qbucket ^ (1 << i) ^ (1 << j))
+    for radius in range(1, multiprobe + 1):
+        for flips in itertools.combinations(range(n_bits), radius):
+            b = qbucket
+            for j in flips:
+                b ^= 1 << j
+            probes.add(b)
 
     tagged = corpus.withColumn("__bucket", sig(F.col(vec_col)))
     candidates = tagged.filter(F.col("__bucket").isin(list(probes)))

@@ -132,7 +132,7 @@ class SparkValidator:
         collect_samples: bool = False,
         max_samples: int = 5,
         fail_fast: bool = False,
-        unique_strategy: str = "direct",
+        unique_strategy: str = "auto",
         broadcast_dup_limit: int = 4_000_000,
     ) -> None:
         """``unique_strategy``:
@@ -155,6 +155,9 @@ class SparkValidator:
           The estimate is deliberately conservative: approx_count_distinct
           error grows with n, so at extreme row counts the fallback join is
           chosen even for clean data — correct either way, never unsafe.
+          **Default** — callers who haven't read this far get the OOM-safe
+          plan; the chosen join shape is surfaced per check in
+          ``report.metadata["unique_join_plan"]``.
         """
         if unique_strategy not in ("direct", "hash_prefilter", "auto"):
             raise ValueError(f"unknown unique_strategy {unique_strategy!r}")
@@ -355,6 +358,11 @@ class SparkValidator:
                 "engine": "pandera_unified_validator_spark",
                 "elapsed_sec": round(time.time() - t0, 3),
                 "n_partitions": len(rows),
+                **(
+                    {"unique_join_plan": dict(self.unique_join_plan)}
+                    if self.unique_join_plan
+                    else {}
+                ),
             },
         )
         result = ValidationResult(

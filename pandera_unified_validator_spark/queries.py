@@ -833,8 +833,12 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracled by the exact all-pairs inverted-index Jaccard in DuckDB: the LSH
     output equals the exact pair set at gate scale because every true pair
     there has Jaccard ≥ 0.875 (verified), where the per-pair miss probability
-    is (1 - s²)^bands = (1 - 0.875²)^16 < 1e-10 — and the pipeline is fully
-    deterministic, so the verified equality is stable."""
+    with 16 hashes / 8 bands (r=2) is (1 − s^r)^b = (1 − 0.875²)^8 ≈ 9e-6 —
+    and the pipeline is fully deterministic, so the verified equality is
+    stable. At the advertised threshold 0.5 the band recall is lower,
+    ≈ 1 − (1 − 0.5²)^8 ≈ 0.90 — acceptable here because no gate-scale pair
+    sits in the 0.5-0.875 gap; corpora with borderline pairs should raise
+    bands (e.g. 32 hashes / 16 bands keeps ≥ 0.99 recall at s = 0.5)."""
     from .operators.dedup import minhash_dedup_pairs
 
     d = _t(spark, sf_dir, "documents")
@@ -937,28 +941,42 @@ FROM events
 
 
 def q_ks_documents_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact two-sample Kolmogorov–Smirnov over n_chars (even vs odd doc_id)
-    — the third drift statistic next to PSI and chi-square."""
-    from .operators.drift import ks_statistic_exact
+    """Two-sample Kolmogorov–Smirnov over n_chars (even vs odd doc_id) via
+    the histogram-sketch path — the 100 TB-safe plan this registry should
+    hand out: two map-side-combined histogram aggs over shared fixed edges
+    (lo/hi from the baseline side, one 1-row job, same convention as PSI),
+    then the cumulative/max-|ΔECDF| arithmetic over 64 bucket rows. Round 2
+    registered ``ks_statistic_exact`` here, whose global-ordered window moves
+    every distinct value to one task (the bench tail's "No Partition
+    Defined" warnings); the exact path remains available for
+    small-cardinality use."""
+    from .operators.drift import ks_from_histograms
 
     d = _t(spark, sf_dir, "documents")
-    return ks_statistic_exact(
-        d.filter(F.col("doc_id") % 2 == 0), d.filter(F.col("doc_id") % 2 == 1), "n_chars"
-    )
+    base = d.filter(F.col("doc_id") % 2 == 0)
+    cur = d.filter(F.col("doc_id") % 2 == 1)
+    mm = base.agg(
+        F.min(F.col("n_chars").cast("double")).alias("lo"),
+        F.max(F.col("n_chars").cast("double")).alias("hi"),
+    ).collect()[0]
+    return ks_from_histograms(base, cur, "n_chars", mm["lo"], mm["hi"], 64)
 
 
 _SQL_KS_DOCUMENTS_NCHARS = """
-WITH u AS (
-  SELECT CAST(n_chars AS DOUBLE) AS v, 1 AS a, 0 AS b FROM documents
-  WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL
-  UNION ALL
-  SELECT CAST(n_chars AS DOUBLE), 0, 1 FROM documents
-  WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL
-),
-g AS (SELECT v, sum(a) AS ca, sum(b) AS cb FROM u GROUP BY v),
-c AS (SELECT sum(ca) OVER (ORDER BY v) AS fa, sum(cb) OVER (ORDER BY v) AS fb FROM g),
-t AS (SELECT max(fa) AS na, max(fb) AS nb FROM c)
-SELECT round(max(abs(fa * 1.0 / na - fb * 1.0 / nb)), 4) AS ks FROM c, t
+WITH base AS (SELECT n_chars FROM documents WHERE doc_id % 2 = 0),
+     cur  AS (SELECT n_chars FROM documents WHERE doc_id % 2 = 1),
+     mm   AS (SELECT CAST(min(n_chars) AS DOUBLE) AS lo, CAST(max(n_chars) AS DOUBLE) AS hi FROM base),
+     eb   AS (SELECT CAST(least(greatest(floor((n_chars - mm.lo) / ((mm.hi - mm.lo) / 64)), 0), 63) AS INTEGER) AS bucket,
+                     count(*) AS ne
+              FROM base, mm WHERE n_chars IS NOT NULL GROUP BY 1),
+     ab   AS (SELECT CAST(least(greatest(floor((n_chars - mm.lo) / ((mm.hi - mm.lo) / 64)), 0), 63) AS INTEGER) AS bucket,
+                     count(*) AS na
+              FROM cur, mm WHERE n_chars IS NOT NULL GROUP BY 1),
+     j    AS (SELECT bucket, coalesce(ne, 0) AS ne, coalesce(na, 0) AS na
+              FROM eb FULL OUTER JOIN ab USING (bucket)),
+     c    AS (SELECT sum(ne) OVER (ORDER BY bucket) AS fe, sum(na) OVER (ORDER BY bucket) AS fa FROM j),
+     t    AS (SELECT max(fe) AS te, max(fa) AS ta FROM c)
+SELECT round(max(abs(fe * 1.0 / te - fa * 1.0 / ta)), 4) AS ks FROM c, t
 """
 
 

@@ -28,6 +28,10 @@ def configure_logging(
     too (Python logging cannot reach executor/driver JVM logs)."""
     logger = logging.getLogger(_PKG)
     logger.setLevel(level if isinstance(level, int) else level.upper())
+    # close before clearing: repeated reconfiguration with log_file would
+    # otherwise leak one open file descriptor per call
+    for h in logger.handlers:
+        h.close()
     logger.handlers.clear()
     fmt = logging.Formatter(_FORMAT)
     console = logging.StreamHandler(sys.stderr)

@@ -126,30 +126,45 @@ class ValidationReport:
                 f.write(s)
         return s
 
-    def to_console(self, verbose: bool = False) -> str:
-        """K3 (reference utils/reporting.py:83-170) — text render with the
-        reference's table sections: summary, errors-by-column, top-10 errors
-        (with failing-value samples when collected), per-check detail."""
+    def to_console(
+        self, verbose: bool = False, suggestions: Sequence[Any] = ()
+    ) -> str:
+        """K3 (reference utils/reporting.py:83-170) — plain-text render with
+        the reference's table CONTENT (no rich dependency): Validation
+        Summary (status / totals / metadata rows), Errors by Column (top 10,
+        count + percentage of all failures), Top 10 Errors (names truncated
+        at 100 chars like the reference's messages), per-check detail with
+        failing-value samples, Warnings (top 10), and Auto-Fix Suggestions
+        when provided (column + description, top 10)."""
         bar = "-" * 64
+        total_failures = sum(c.n_failed for c in self.checks)
         lines = [
             bar,
-            f"validation: {'PASSED' if self.is_valid else 'FAILED'}",
-            f"rows: {self.n_rows:,}  invalid rows: {self.n_invalid_rows:,}",
-            f"checks: {len(self.checks)}  failed: {len(self.failed_checks)}",
+            "validation summary",
+            f"  status: {'PASSED' if self.is_valid else 'FAILED'}",
+            f"  rows: {self.n_rows:,}  invalid rows: {self.n_invalid_rows:,}",
+            f"  checks: {len(self.checks)}  failed: {len(self.failed_checks)}",
+            f"  warnings: {len(self.warnings)}  suggestions: {len(suggestions)}",
         ]
+        for key, value in self.metadata.items():
+            if key not in ("stage", "message"):
+                lines.append(f"  {key.replace('_', ' ')}: {value}")
         for e in self.errors:
             lines.append(f"  schema error: {e}")
         by_col = self.errors_by_column()
         if by_col:
             lines += [bar, "errors by column"]
-            width = max(len(c) for c in by_col)
-            for col, n in sorted(by_col.items(), key=lambda kv: -kv[1]):
-                lines.append(f"  {col:<{width}}  {n:,}")
+            top_cols = sorted(by_col.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+            width = max(len(c) for c, _ in top_cols)
+            for col, n in top_cols:
+                pct = (n / total_failures * 100) if total_failures else 0.0
+                lines.append(f"  {col:<{width}}  {n:,}  {pct:.1f}%")
         top = self.top_errors()
         if top:
             lines += [bar, "top errors"]
-            width = max(len(n) for n, _ in top)
-            for name, n in top:
+            names = [(n[:100] + "...") if len(n) > 100 else n for n, _ in top]
+            width = max(len(n) for n in names)
+            for name, (_, n) in zip(names, top):
                 lines.append(f"  {name:<{width}}  {n:,}")
         lines.append(bar)
         for c in self.failed_checks if not verbose else self.checks:
@@ -157,8 +172,14 @@ class ValidationReport:
             lines.append(f"  [{status}] {c.name}: {c.n_failed:,}/{c.n_checked:,} failed")
             for s in c.samples[:5]:
                 lines.append(f"         e.g. {s!r}")
-        for w in self.warnings:
+        for w in self.warnings[:10]:
             lines.append(f"  warning: {w}")
+        if suggestions:
+            lines += [bar, "auto-fix suggestions"]
+            for s in suggestions[:10]:
+                col = getattr(s, "column", None) or "N/A"
+                desc = getattr(s, "description", str(s))
+                lines.append(f"  {col}: {desc}")
         out = "\n".join(lines)
         print(out)
         return out

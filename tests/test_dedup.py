@@ -45,6 +45,35 @@ def test_dedup_exact(spark, corpus):
     assert 1 in kept and 4 not in kept  # deterministic min tiebreak
 
 
+def test_dedup_exact_full_row_distinct(spark):
+    """All-columns dedup (the distinct branch): fully identical rows collapse,
+    near-identical rows survive."""
+    rows = [(1, "a"), (1, "a"), (1, "b"), (2, "a")]
+    df = spark.createDataFrame(rows, "k int, v string")
+    out = sorted((r["k"], r["v"]) for r in dedup_exact(df).collect())
+    assert out == [(1, "a"), (1, "b"), (2, "a")]
+
+
+def test_minhash_signature_paths_bit_identical(spark, corpus):
+    """The per-row Column path and the corpus-scale explode/groupBy path must
+    produce BIT-IDENTICAL signatures (same derived-hash scheme), so outputs
+    of the two are freely mixable in one banding join."""
+    from pandera_unified_validator_spark.operators.dedup import minhash_signatures_df
+
+    per_row = {
+        r["doc_id"]: r["s"]
+        for r in corpus.select(
+            "doc_id", minhash_signature("text", 16, 5).alias("s")
+        ).collect()
+        if r["s"] is not None
+    }
+    bulk = {
+        r["doc_id"]: r["__sig"]
+        for r in minhash_signatures_df(corpus, "doc_id", "text", 16, 5).collect()
+    }
+    assert per_row == bulk
+
+
 def test_shingles_and_jaccard(spark):
     df = spark.createDataFrame([("a b c d e", "a b c d x")], "x string, y string")
     row = df.select(
@@ -119,6 +148,47 @@ def test_lsh_topk_recall(spark, embeddings):
     ]
     assert approx[0] == 0  # the query itself always lands in its own bucket
     assert len(set(exact) & set(approx)) >= 2  # decent recall on 500 vecs
+
+
+def test_lsh_topk_multiprobe_radius3_and_bounds(spark, embeddings):
+    """Generalized multiprobe: radius 3 probes sum C(n_bits, r<=3) buckets —
+    recall can only grow with radius; out-of-range radii raise instead of
+    silently capping."""
+    q = embeddings.filter("vec_id = 0").collect()[0]["embedding"]
+    exact = [r["vec_id"] for r in brute_force_topk(embeddings, q, k=5).collect()]
+    r2 = {
+        r["vec_id"]
+        for r in lsh_topk(embeddings, q, k=5, n_bits=8, multiprobe=2).collect()
+    }
+    r3 = {
+        r["vec_id"]
+        for r in lsh_topk(embeddings, q, k=5, n_bits=8, multiprobe=3).collect()
+    }
+    assert 0 in r3
+    assert len(r3 & set(exact)) >= len(r2 & set(exact))
+    with pytest.raises(ValueError, match="multiprobe"):
+        lsh_topk(embeddings, q, n_bits=8, multiprobe=9)
+    with pytest.raises(ValueError, match="multiprobe"):
+        lsh_topk(embeddings, q, n_bits=8, multiprobe=-1)
+
+
+def test_embedding_dim_inference_skips_leading_nulls(spark, embeddings):
+    """A NULL vector in the first row must not collapse the inferred dim to 1
+    (ADVICE r2): inference reads the first NON-NULL vector."""
+    null_row = spark.createDataFrame(
+        [(99999, None)], "vec_id bigint, embedding array<double>"
+    )
+    sample = embeddings.select(
+        F.col("vec_id").cast("bigint"), F.col("embedding").cast("array<double>")
+    ).filter("vec_id < 3")
+    dup = sample.withColumn("vec_id", F.col("vec_id") + 10000)
+    # null row FIRST: dim inference must skip it (and null vectors are
+    # dropped from matching entirely)
+    both = null_row.unionAll(sample).unionAll(dup)
+    pairs = embedding_near_dup_pairs(both, threshold=0.999, n_bits=8).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert {(0, 10000), (1, 10001), (2, 10002)} <= found
+    assert not any(99999 in p for p in found)
 
 
 def test_ivf_index(spark, embeddings):

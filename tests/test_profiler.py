@@ -172,3 +172,19 @@ def test_ks_statistics(spark):
     assert ks_statistic_exact(a, a, "x").collect()[0]["ks"] == 0.0
     approx = ks_from_histograms(a, b, "x", 1.0, 6.0, 100).collect()[0]["ks"]
     assert abs(approx - 0.5) <= 0.01
+
+
+def test_ks_empty_side_is_null(spark):
+    """Contract: ks is NULL (not NaN) when either side has no non-null rows."""
+    from pandera_unified_validator_spark.operators.drift import (
+        ks_from_histograms,
+        ks_statistic_exact,
+    )
+
+    a = spark.createDataFrame([(float(v),) for v in [1, 2, 3]], "x double")
+    empty = spark.createDataFrame([], "x double")
+    nulls = spark.createDataFrame([(None,), (None,)], "x double")
+    for bad in (empty, nulls):
+        assert ks_statistic_exact(a, bad, "x").collect()[0]["ks"] is None
+        assert ks_statistic_exact(bad, a, "x").collect()[0]["ks"] is None
+    assert ks_from_histograms(a, empty, "x", 1.0, 3.0, 10).collect()[0]["ks"] is None
