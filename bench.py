@@ -94,20 +94,28 @@ def main() -> None:
     timings["token_validation"] = extras["token_validate_sec"]
 
     # surface the recorded N->4N executor scaling evidence (produced by
-    # tools/bench_scaling.py --standalone; see BENCH/BASELINE.md)
-    scaling_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling_standalone.json"
-    )
+    # tools/bench_scaling.py --standalone; one cache per executor shape —
+    # see BENCH/BASELINE.md for the headroom vs saturating protocols)
+    import glob
+
     scaling = None
-    if os.path.exists(scaling_path):
-        with open(scaling_path) as f:
-            rec = json.load(f)
-        scaling = {
-            "protocol": "standalone executor processes (see BENCH/BASELINE.md)",
-            **{
-                k: v["scaling_efficiency"] for k, v in rec.get("summary", {}).items()
-            },
-        }
+    caches = sorted(
+        glob.glob(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH",
+                "scaling_standalone*.json",
+            )
+        )
+    )
+    if caches:
+        scaling = {"protocol": "standalone executor processes (see BENCH/BASELINE.md)"}
+        for p in caches:
+            with open(p) as f:
+                rec = json.load(f)
+            cores = rec.get("exec_cores", "?")
+            for k, v in rec.get("summary", {}).items():
+                scaling[f"{k} @{cores}c"] = v["scaling_efficiency"]
 
     total = round(sum(timings.values()), 3)
     out = {

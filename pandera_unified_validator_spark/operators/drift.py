@@ -372,6 +372,42 @@ def token_frequency_drift(
     return rep
 
 
+def mean_drift_df(
+    baseline: DataFrame,
+    current: DataFrame,
+    columns: Sequence[str],
+    round_to: int = 4,
+) -> DataFrame:
+    """Distributed D1: per-column relative mean drift as a DataFrame, the
+    reference ``compare_profiles`` column_drift formula (profiling/
+    profiler.py:210-217: ``abs(mean_b - mean_a) / denom`` with ``denom =
+    abs(mean_a) if mean_a != 0 else 1``) computed in-plan — two map-side
+    combined agg jobs (one row each), a 1×1 crossJoin, and an inline
+    unpivot. Nothing but two 1-row frames ever reaches the driver, so the
+    shape is identical at 10^12 rows. ``compare_profiles`` keeps the
+    report-object path; this is the engine path for drift-as-a-table."""
+    a = baseline.agg(*[F.mean(c).alias(f"a__{c}") for c in columns])
+    b = current.agg(*[F.mean(c).alias(f"b__{c}") for c in columns])
+
+    def drift(c: str):
+        ma, mb = F.col(f"a__{c}"), F.col(f"b__{c}")
+        denom = F.when(ma != 0, F.abs(ma)).otherwise(F.lit(1.0))
+        return F.abs(mb - ma) / denom
+
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.round(drift(c), round_to).alias("mean_drift"),
+                )
+                for c in columns
+            ]
+        )
+    ).alias("s")
+    return a.crossJoin(b).select(pairs).select("s.column", "s.mean_drift")
+
+
 def drift_between(
     baseline: DataFrame,
     current: DataFrame,

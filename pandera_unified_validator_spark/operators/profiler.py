@@ -73,6 +73,9 @@ class ProfileReport:
     duplicate_rows: int = 0
     correlations: dict[tuple[str, str], float] = field(default_factory=dict)
     quality: dict[str, float] = field(default_factory=dict)
+    # external-backend dispatch (reference profiling/profiler.py:122-124)
+    backend: str = "builtin"
+    raw_backend_report: Any | None = None
 
     @property
     def quality_score(self) -> float:
@@ -100,6 +103,7 @@ class ProfileReport:
             "columns": {k: v.to_dict() for k, v in self.columns.items()},
             "correlations": {f"{a}|{b}": v for (a, b), v in self.correlations.items()},
             "quality": self.quality,
+            "backend": self.backend,
         }
 
 
@@ -154,6 +158,8 @@ class DataProfiler:
     passes (profiling/profiler.py:257-293).
     """
 
+    SUPPORTED_BACKENDS = {"builtin", "pandas-profiling", "ydata-profiling", "sweetviz"}
+
     def __init__(
         self,
         histogram_bins: int = 10,
@@ -162,13 +168,51 @@ class DataProfiler:
         quantile_error: float = 0.01,
         correlations: bool = True,
         max_corr_columns: int = 8,
+        backend: str = "builtin",
+        backend_sample_rows: int = 100_000,
     ) -> None:
+        """``backend`` dispatches to an external profiling library like the
+        reference's DataProfiler (profiling/profiler.py:164-176, 248-255):
+        ``"ydata-profiling"``/``"pandas-profiling"`` or ``"sweetviz"`` are
+        soft-imported; when the library is missing the profile silently falls
+        back to the built-in stats with ``report.backend == "builtin"`` —
+        the reference's exact contract (it returns ``(None, "built-in")``).
+        Those libraries are pandas-only, so the external pass runs on a
+        driver-side sample capped at ``backend_sample_rows`` (the built-in
+        distributed stats are ALWAYS computed over the full DataFrame; only
+        the cosmetic external report samples)."""
+        backend = backend.lower().replace("_", "-")
+        if backend not in self.SUPPORTED_BACKENDS:
+            raise ValueError(
+                f"Unsupported backend {backend!r}. Supported: {sorted(self.SUPPORTED_BACKENDS)}"
+            )
+        self.backend = backend
+        self.backend_sample_rows = backend_sample_rows
         self.histogram_bins = histogram_bins
         self.categorical_threshold = categorical_threshold
         self.exact = exact
         self.quantile_error = quantile_error
         self.correlations = correlations
         self.max_corr_columns = max_corr_columns
+
+    def _run_backend(self, df: DataFrame) -> tuple[Any | None, str]:
+        """Soft-import external backend dispatch (reference
+        profiling/profiler.py:248-255). Returns (raw_report, backend_used)."""
+        if self.backend in ("pandas-profiling", "ydata-profiling"):
+            try:
+                import ydata_profiling  # type: ignore[import-not-found]
+            except ImportError:
+                return None, "builtin"
+            pdf = df.limit(self.backend_sample_rows).toPandas()
+            return ydata_profiling.ProfileReport(pdf, explorative=True), self.backend
+        if self.backend == "sweetviz":
+            try:
+                import sweetviz  # type: ignore[import-not-found]
+            except ImportError:
+                return None, "builtin"
+            pdf = df.limit(self.backend_sample_rows).toPandas()
+            return sweetviz.analyze(pdf), self.backend
+        return None, "builtin"
 
     # ------------------------------------------------------------------ #
     def profile(self, df: DataFrame, columns: Sequence[str] | None = None) -> ProfileReport:
@@ -352,11 +396,14 @@ class DataProfiler:
         }
         duplicate_rows = int(n - (row["__distinct_rows"] or 0)) if n else 0
 
+        raw_backend, backend_used = self._run_backend(df)
         report = ProfileReport(
             n_rows=n,
             columns=profiles,
             duplicate_rows=max(0, duplicate_rows),
             correlations=correlations,
+            backend=backend_used,
+            raw_backend_report=raw_backend,
         )
         report.quality = self._quality(report, numeric, df)
         for p in profiles.values():

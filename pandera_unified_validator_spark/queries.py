@@ -980,6 +980,219 @@ SELECT round(max(abs(fe * 1.0 / te - fa * 1.0 / ta)), 4) AS ks FROM c, t
 """
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end embedding near-dup pairs: the corpus unioned with a
+    deterministically perturbed copy of itself (vec_id + 100000, element i
+    shifted by (i % 7 − 3)·0.002 — tiny relative to unit-normal elements, so
+    every true pair has cosine ≈ 0.99999), run through the full LSH pipeline
+    (hyperplane bucket → within-bucket pairs → exact cosine ≥ 0.99).
+
+    Oracled by a FULL REPLAY in DuckDB (same discipline as ann_lsh_topk):
+    the seeded float32-quantized hyperplanes are embedded as literals, bucket
+    assignment and the within-bucket pair join are recomputed in SQL, so a
+    perturbed pair that flips a bucket bit is missed IDENTICALLY on both
+    sides — the oracle checks the approximate pipeline, not an idealized
+    exact answer."""
+    from .operators.dedup import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    pert = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x, i: x + (i % 7 - 3).cast("double") * F.lit(0.002),
+        ).alias("embedding"),
+    )
+    return embedding_near_dup_pairs(
+        base.unionAll(pert), id_col="vec_id", vec_col="embedding",
+        threshold=0.99, n_bits=8,
+    ).orderBy("id_a", "id_b")
+
+
+def _embedding_near_dup_oracle_sql(
+    dim: int = 64, n_bits: int = 8, seed: int = 42, threshold: float = 0.99
+) -> str:
+    """DuckDB replay of q_embedding_near_dup: hyperplanes from the identical
+    seeded draw as ``hyperplane_signature_udf`` (float32-quantized literals,
+    float64 dots), the same perturbed-union corpus, bucket-equality pair
+    generation, and the rounded-cosine threshold."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((dim, n_bits)).astype("float32")
+    vals = ",".join(
+        f"({b},{p + 1},{float(planes[p, b])!r})"
+        for p in range(dim)
+        for b in range(n_bits)
+    )
+    return f"""
+WITH planes(bit, pos, w) AS (VALUES {vals}),
+u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             unnest(range(1, len(embedding) + 1)) AS pos
+      FROM embeddings),
+src AS (SELECT vec_id, pos, x FROM u
+        UNION ALL
+        SELECT vec_id + 100000, pos, x + ((pos - 1) % 7 - 3) * 0.002 FROM u),
+dots AS (SELECT s.vec_id, p.bit, sum(s.x * p.w) AS d
+         FROM src s JOIN planes p ON s.pos = p.pos GROUP BY 1, 2),
+buckets AS (SELECT vec_id, CAST(sum(CASE WHEN d > 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS bucket
+            FROM dots GROUP BY 1),
+pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+sims AS (SELECT id_a, id_b,
+                sum(xa.x * xb.x) / (sqrt(sum(xa.x * xa.x)) * sqrt(sum(xb.x * xb.x))) AS sim
+         FROM pairs
+         JOIN src xa ON xa.vec_id = id_a
+         JOIN src xb ON xb.vec_id = id_b AND xa.pos = xb.pos
+         GROUP BY 1, 2)
+SELECT id_a, id_b, round(sim, 4) AS cosine_sim
+FROM sims WHERE round(sim, 4) >= {threshold} ORDER BY id_a, id_b
+"""
+
+
+def q_ngram_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard verification kernel over a deterministic
+    candidate set (every consecutive doc_id pair) — the reusable verify stage
+    behind any candidate generator (minhash/simhash banding), here oracled in
+    isolation: distinct-shingle sets, intersection / union, 4 dp."""
+    from .operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    ids = d.select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b"))
+    pairs = ids.join(d.select(F.col("doc_id").alias("id_b")), "id_b").select("id_a", "id_b")
+    return ngram_jaccard_pairs(d, pairs, "doc_id", "text", n=3).orderBy("id_a", "id_b")
+
+
+_SQL_NGRAM_JACCARD_VERIFY = r"""
+WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+           FROM documents WHERE trim(text) <> ''),
+sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(ws, i, i + 2), ' ') AS s
+       FROM w, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS t(i) WHERE len(ws) > 0),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM (SELECT doc_id FROM w) a JOIN (SELECT doc_id FROM w) b ON b.doc_id = a.doc_id + 1),
+inter AS (SELECT c.id_a, c.id_b, count(*) AS i
+          FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+          GROUP BY 1, 2),
+j AS (SELECT c.id_a, c.id_b,
+             round(coalesce(i.i, 0) * 1.0 / (sa.n + sb.n - coalesce(i.i, 0)), 4) AS jaccard_sim
+      FROM cand c
+      LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+      JOIN sz sa ON sa.doc_id = c.id_a JOIN sz sb ON sb.doc_id = c.id_b)
+SELECT id_a, id_b, jaccard_sim FROM j ORDER BY id_a, id_b
+"""
+
+
+def q_mean_drift_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 profile comparison as a distributed table: per-column relative
+    mean drift between the even- and odd-orderkey halves of lineitem
+    (reference compare_profiles formula, profiling/profiler.py:210-217) —
+    two 1-row agg jobs, no driver-side stats."""
+    from .operators.drift import mean_drift_df
+
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    return mean_drift_df(
+        li.filter(F.col("l_orderkey") % 2 == 0),
+        li.filter(F.col("l_orderkey") % 2 == 1),
+        cols,
+    ).orderBy("column")
+
+
+_SQL_MEAN_DRIFT_LINEITEM = """
+WITH a AS (SELECT avg(l_quantity) AS q, avg(l_extendedprice) AS p, avg(l_discount) AS d, avg(l_tax) AS t
+           FROM lineitem WHERE l_orderkey % 2 = 0),
+b AS (SELECT avg(l_quantity) AS q, avg(l_extendedprice) AS p, avg(l_discount) AS d, avg(l_tax) AS t
+      FROM lineitem WHERE l_orderkey % 2 = 1)
+SELECT col AS "column",
+       round(abs(mb - ma) / (CASE WHEN ma <> 0 THEN abs(ma) ELSE 1.0 END), 4) AS mean_drift
+FROM (
+  SELECT 'l_quantity' AS col, a.q AS ma, b.q AS mb FROM a, b
+  UNION ALL SELECT 'l_extendedprice', a.p, b.p FROM a, b
+  UNION ALL SELECT 'l_discount', a.d, b.d FROM a, b
+  UNION ALL SELECT 'l_tax', a.t, b.t FROM a, b
+)
+ORDER BY col
+"""
+
+
+def q_stream_windowed_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/P4 under the driver gate: the events table replayed through REAL
+    Structured Streaming — file source → ``windowed_error_rates`` (validator
+    flags aggregated per watermarked 1-day tumbling event-time window) →
+    memory sink, ``availableNow`` trigger, complete mode. Deterministic
+    regardless of micro-batch splits: the watermark is wider than the data
+    span (nothing is ever late) and complete mode emits the full aggregate.
+
+    Oracle: tumbling windows are epoch-aligned, so DuckDB reproduces the
+    window key as ``floor(epoch(ts)/86400)*86400`` and the same per-check
+    fail counts / any-check row invalidity in plain SQL."""
+    from .streaming.structured import windowed_error_rates
+
+    path = f"{sf_dir}/events.parquet"
+    sch = spark.read.parquet(path).schema
+    # watermarks require TIMESTAMP (with zone); the parquet ts is NTZ — the
+    # session runs in UTC, so the cast keeps the same epoch as DuckDB's
+    # naive epoch()
+    # the file-stream source rejects a literal file path (basePath must be a
+    # directory) but accepts a glob over one
+    stream = (
+        spark.readStream.schema(sch)
+        .parquet(f"{sf_dir}/events.*")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    schema = (
+        SchemaBuilder("events")
+        .column("value", "float", ge=0.0, le=80.0)
+        .column("event_type", "str", isin=["click", "view", "purchase", "signup"])
+        .build()
+    )
+    out = windowed_error_rates(
+        stream, SparkValidator(schema), "ts", window="1 day", watermark="3650 days"
+    )
+    name = "puv_stream_windowed_validation"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select(
+            F.col("window.start").cast("long").alias("window_start"),
+            "n_rows",
+            "n_invalid",
+            F.col("value__le").alias("le_fails"),
+            F.col("event_type__isin").alias("isin_fails"),
+            F.round("error_rate", 4).alias("error_rate"),
+        )
+        .orderBy("window_start")
+    )
+
+
+_SQL_STREAM_WINDOWED_VALIDATION = """
+WITH w AS (
+  SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS window_start,
+         CASE WHEN value >= 0.0 AND value <= 80.0 THEN 0 ELSE 1 END AS f_le_any,
+         CASE WHEN value <= 80.0 THEN 0 ELSE 1 END AS f_le,
+         CASE WHEN value >= 0.0 THEN 0 ELSE 1 END AS f_ge,
+         CASE WHEN event_type IN ('click', 'view', 'purchase', 'signup') THEN 0 ELSE 1 END AS f_isin
+  FROM events
+)
+SELECT window_start,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN f_le + f_ge + f_isin > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid,
+       CAST(sum(f_le) AS BIGINT) AS le_fails,
+       CAST(sum(f_isin) AS BIGINT) AS isin_fails,
+       round(sum(CASE WHEN f_le + f_ge + f_isin > 0 THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS error_rate
+FROM w GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "check_nulls_lineitem": (q_check_nulls_lineitem, _SQL_NULLS_LINEITEM),
     "check_ranges_lineitem": (q_check_ranges_lineitem, _SQL_RANGES_LINEITEM),
@@ -1016,6 +1229,13 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "unique_ratio_documents": (q_unique_ratio_documents, _SQL_UNIQUE_RATIO_DOCUMENTS),
     "events_freshness": (q_events_freshness, _SQL_EVENTS_FRESHNESS),
     "ks_documents_nchars": (q_ks_documents_nchars, _SQL_KS_DOCUMENTS_NCHARS),
+    "embedding_near_dup": (q_embedding_near_dup, _embedding_near_dup_oracle_sql()),
+    "ngram_jaccard_verify": (q_ngram_jaccard_verify, _SQL_NGRAM_JACCARD_VERIFY),
+    "mean_drift_lineitem": (q_mean_drift_lineitem, _SQL_MEAN_DRIFT_LINEITEM),
+    "stream_windowed_validation": (
+        q_stream_windowed_validation,
+        _SQL_STREAM_WINDOWED_VALIDATION,
+    ),
 }
 
 

@@ -188,3 +188,43 @@ def test_ks_empty_side_is_null(spark):
         assert ks_statistic_exact(a, bad, "x").collect()[0]["ks"] is None
         assert ks_statistic_exact(bad, a, "x").collect()[0]["ks"] is None
     assert ks_from_histograms(a, empty, "x", 1.0, 3.0, 10).collect()[0]["ks"] is None
+
+
+def test_profiler_backend_dispatch(spark):
+    """External-backend façade (reference profiling/profiler.py:164-176,
+    248-255): unknown backends rejected; requesting a missing library falls
+    back silently to builtin (the reference's (None, "built-in") contract);
+    the builtin distributed stats are computed either way."""
+    from pandera_unified_validator_spark.operators.profiler import DataProfiler
+
+    with pytest.raises(ValueError, match="Unsupported backend"):
+        DataProfiler(backend="nope")
+
+    df = spark.range(100).selectExpr("id", "cast(id % 7 as double) as x")
+    # ydata-profiling / sweetviz are not installed in this container
+    rep = DataProfiler(backend="ydata-profiling").profile(df)
+    assert rep.backend == "builtin" and rep.raw_backend_report is None
+    assert rep.columns["x"].mean is not None  # builtin stats still full
+    assert rep.to_dict()["backend"] == "builtin"
+    rep2 = DataProfiler(backend="sweetviz").profile(df)
+    assert rep2.backend == "builtin"
+
+
+def test_mean_drift_df(spark):
+    """Distributed D1 matches the reference compare_profiles formula
+    (|mean_b - mean_a| / |mean_a|, denom 1 when mean_a == 0) computed in
+    pandas."""
+    import pandas as pd
+
+    from pandera_unified_validator_spark.operators.drift import mean_drift_df
+
+    pa = pd.DataFrame({"x": [1.0, 2.0, 3.0], "z": [0.0, 0.0, 0.0]})
+    pb = pd.DataFrame({"x": [2.0, 4.0, 6.0], "z": [1.0, 1.0, 1.0]})
+    out = {
+        r["column"]: r["mean_drift"]
+        for r in mean_drift_df(
+            spark.createDataFrame(pa), spark.createDataFrame(pb), ["x", "z"]
+        ).collect()
+    }
+    assert out["x"] == 1.0          # (4-2)/2
+    assert out["z"] == 1.0          # mean_a == 0 -> denom 1
