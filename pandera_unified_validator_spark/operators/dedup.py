@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import words
-from ..functions.vectors import cosine, hyperplane_signature_udf
+from ..functions.vectors import hyperplane_signature_udf
 
 __all__ = [
     "dedup_exact",
@@ -357,45 +357,96 @@ def embedding_near_dup_pairs(
     ``dim`` is inferred from the first NON-NULL vector when not given (a
     leading NULL row must not collapse dim to 1 and shape-crash the UDF).
     ``max_bucket_rows`` guards against a degenerate bucket (skewed
-    embeddings → one hot bucket → quadratic join): buckets above the cap are
+    embeddings → one hot bucket → quadratic work): oversized buckets are
     refined with a second seeded signature, bounding per-bucket work at a
     bounded recall cost (pairs split across sub-buckets are missed —
     documented trade, not silent). ON by default (4096 ≈ 8M pairs/bucket
     worst case) so skewed corpora can't quadratic-blow silently; pass
-    ``None`` to disable."""
+    ``None`` to disable.
+
+    Plan shape (round 3): ONE Arrow UDF pass tags each row with its primary
+    bucket, ONE hash shuffle groups by bucket, and ``applyInPandas`` emits
+    surviving pairs per bucket via numpy block-matmul (1024-row blocks keep
+    peak memory ~32 MB regardless of bucket size; secondary refinement is
+    computed in-group from the vectors already present). The earlier shape
+    (self-join on bucket + a bucket-sizes join) shuffled the corpus three
+    times, re-ran the signature UDF on both join sides, and scored every
+    candidate pair with an interpreted HOF cosine; this one shuffles each
+    row once and emits only pairs that can pass the threshold."""
+    import numpy as np
+
     df = df.where(F.col(vec_col).isNotNull())  # null vectors can't match
     if dim is None:
         first = df.select(vec_col).first()
         # empty/all-null input: any dim works, no UDF batch ever runs
         dim = len(first[0]) if first is not None else 1
     sig = hyperplane_signature_udf(dim, n_bits, seed)
-    tagged = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")).withColumn(
-        "__bucket", sig(F.col("__v")).cast("string")
+    tagged = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).withColumn(
+        "b", sig(F.col("v"))
     )
-    if max_bucket_rows is not None:
-        sig2 = hyperplane_signature_udf(dim, n_bits, seed + 1)
-        sizes = tagged.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__bn"))
-        tagged = (
-            tagged.join(sizes, "__bucket")
-            .withColumn(
-                "__bucket",
-                F.when(
-                    F.col("__bn") > max_bucket_rows,
-                    F.concat_ws(":", F.col("__bucket"), sig2(F.col("__v")).cast("string")),
-                ).otherwise(F.col("__bucket")),
+    id_dt = tagged.schema["id"].dataType.simpleString()
+    out_schema = f"id_a {id_dt}, id_b {id_dt}, cosine_sim double"
+
+    # same quantize-then-float64 planes as hyperplane_signature_udf(seed+1):
+    # the refinement's equivalence classes match the previous implementation
+    sub_planes = (
+        np.random.RandomState(seed + 1)
+        .standard_normal((dim, n_bits))
+        .astype("float32")
+        .astype("float64")
+        if max_bucket_rows is not None
+        else None
+    )
+    weights = (1 << np.arange(n_bits)).astype("int64")
+    # emit everything that could still pass the in-plan round(·,4) >= threshold
+    margin = threshold - 5e-5
+    cap = max_bucket_rows
+
+    def emit(pdf):
+        import numpy as np
+        import pandas as pd
+
+        n = len(pdf)
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []})
+        if n < 2:
+            return empty
+        pdf = pdf.sort_values("id", kind="mergesort").reset_index(drop=True)
+        ids = pdf["id"].to_numpy()
+        X = np.vstack(pdf["v"].to_numpy()).astype("float64")
+        if sub_planes is not None and n > cap:
+            sub = (((X @ sub_planes) > 0) @ weights).astype("int64")
+        else:
+            sub = np.zeros(n, dtype="int64")
+        norms = np.sqrt((X * X).sum(axis=1))
+        norms[norms == 0] = np.inf  # zero-norm vector: cosine undefined, no pairs
+        Xn = X / norms[:, None]
+        out_a, out_b, out_s = [], [], []
+        cols = np.arange(n)[None, :]
+        for start in range(0, n, 1024):
+            end = min(start + 1024, n)
+            blk = Xn[start:end] @ Xn.T
+            mask = (
+                (blk >= margin)
+                & (cols > np.arange(start, end)[:, None])
+                & (sub[None, :] == sub[start:end, None])
             )
-            .drop("__bn")
+            ia, jb = np.nonzero(mask)
+            out_a.append(ids[ia + start])
+            out_b.append(ids[jb])
+            out_s.append(blk[ia, jb])
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cosine_sim": np.concatenate(out_s),
+            }
         )
-    l, r = tagged.alias("l"), tagged.alias("r")
+
     return (
-        l.join(
-            r,
-            (F.col("l.__bucket") == F.col("r.__bucket")) & (F.col("l.__id") < F.col("r.__id")),
-        )
-        .select(
-            F.col("l.__id").alias("id_a"),
-            F.col("r.__id").alias("id_b"),
-            F.round(cosine(F.col("l.__v"), F.col("r.__v")), 4).alias("cosine_sim"),
-        )
+        tagged.groupBy("b")
+        .applyInPandas(emit, out_schema)
+        .select("id_a", "id_b", F.round("cosine_sim", 4).alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
