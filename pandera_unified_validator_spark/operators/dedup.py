@@ -50,10 +50,14 @@ def dedup_exact(
     dedup columns twice (``__key`` AND the full-row payload) plus a
     redundant 8-byte digest; for wide text keys that doubled exchange bytes.
     Spark's hash aggregate hashes the struct key internally, so the explicit
-    digest bought nothing. The winner per group is the row with the smallest
-    ``tiebreak`` (deterministic) via min_by over one hash-partitioned
-    aggregation — no window sort; partial aggregation keeps per-partition
-    traffic to one candidate row per distinct key.
+    digest bought nothing. Measured (2M rows, ~220-char text key, 25% dups,
+    UI shuffleWriteBytes): round-2 shape 33.0 MB vs this shape 12.7 MB —
+    2.6x fewer exchange bytes, the number that matters on a network-bound
+    cluster shuffle (wall time is flat on this page-cached single host).
+    The winner per group is the row with the smallest ``tiebreak``
+    (deterministic) via min_by over one hash-partitioned aggregation — no
+    window sort; partial aggregation keeps per-partition traffic to one
+    candidate row per distinct key.
     """
     cols = list(cols) if cols else df.columns
     if tiebreak is None:
