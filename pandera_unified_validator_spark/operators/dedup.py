@@ -330,14 +330,62 @@ def ngram_jaccard_pairs(
     n: int = 3,
 ) -> DataFrame:
     """Exact word n-gram Jaccard for given candidate (id_a, id_b) pairs —
-    the verification kernel reusable behind any candidate generator."""
-    sh = df.select(F.col(id_col), F.array_distinct(shingles(text_col, n)).alias("__g"))
-    return (
-        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("__g", "__ga"), "id_a")
-        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("__g", "__gb"), "id_b")
-        .select(
-            "id_a", "id_b", F.round(jaccard("__ga", "__gb"), 4).alias("jaccard_sim")
+    the verification kernel reusable behind any candidate generator.
+
+    Shape (round 3): distinct (doc, gram) rows once via explode, set sizes
+    via one map-side-combined groupBy, |A∩B| via two codegen hash joins
+    keyed by (pair, gram) — no gram ARRAY ever crosses a shuffle (the
+    round-2 shape shipped each doc's full distinct-gram array through both
+    joins and intersected with an interpreted HOF per pair). Semantics are
+    unchanged: pairs whose ids are absent from ``df`` drop (inner join on
+    existence), a doc with no grams has set size 0, Jaccard is NULL when
+    both sides are empty, and duplicate candidate rows yield duplicate
+    output rows."""
+    ids = df.select(F.col(id_col))
+    grams = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.array_distinct(shingles(text_col, n))).alias("__g"),
+    )
+    sizes = grams.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    cp = (
+        pairs.select("id_a", "id_b")
+        .distinct()
+        .join(ids.withColumnRenamed(id_col, "id_a"), "id_a")
+        .join(ids.withColumnRenamed(id_col, "id_b"), "id_b")
+    )
+    inter = (
+        cp.join(grams.withColumnRenamed("__id", "id_a"), "id_a")
+        .join(grams.withColumnRenamed("__id", "id_b"), ["id_b", "__g"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    na = F.coalesce(F.col("__na"), F.lit(0))
+    nb = F.coalesce(F.col("__nb"), F.lit(0))
+    i = F.coalesce(F.col("__i"), F.lit(0))
+    union = na + nb - i
+    scored = (
+        cp.join(inter, ["id_a", "id_b"], "left")
+        .join(
+            sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__n", "__na"),
+            "id_a",
+            "left",
         )
+        .join(
+            sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__n", "__nb"),
+            "id_b",
+            "left",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.when(union > 0, i.cast("double") / union), 4
+            ).alias("jaccard_sim"),
+        )
+    )
+    # duplicate candidate rows in the input keep their multiplicity
+    return pairs.select("id_a", "id_b").join(scored, ["id_a", "id_b"]).select(
+        "id_a", "id_b", "jaccard_sim"
     )
 
 

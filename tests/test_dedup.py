@@ -258,3 +258,27 @@ def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
     recall = len(got) / max(len(truth), 1)
     assert recall == 1.0, f"recall {recall}: missed {set(truth) - set(got)}"
     assert got == truth                    # values identical (hashed-set jaccard)
+
+
+def test_ngram_jaccard_pairs_edge_semantics(spark):
+    """Round-3 explode/join shape keeps the old kernel's contract: absent ids
+    drop, empty-gram docs score 0.0 vs non-empty, NULL when both empty,
+    duplicate candidate rows keep multiplicity."""
+    from pandera_unified_validator_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),
+            (2, "a b c d"),
+            (3, "   "),          # no words -> empty gram set
+            (4, "  "),           # no words -> empty gram set
+        ],
+        "doc_id int, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 2), (1, 3), (3, 4), (1, 99)], "id_a int, id_b int"
+    )
+    rows = ngram_jaccard_pairs(docs, pairs).collect()
+    got = sorted((r["id_a"], r["id_b"], r["jaccard_sim"]) for r in rows)
+    # (1,99) dropped (99 not in docs); (1,2) duplicated; identical docs -> 1.0
+    assert got == [(1, 2, 1.0), (1, 2, 1.0), (1, 3, 0.0), (3, 4, None)]
