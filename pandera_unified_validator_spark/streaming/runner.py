@@ -129,6 +129,35 @@ class PartitionedValidationRunner:
             json.dump(res.to_dict(), f)
         os.replace(tmp, p)  # atomic on POSIX — a killed job never leaves a torn record
 
+    def lineage_df(self, spark: SparkSession):
+        """The per-partition lineage + metrics log as a queryable DataFrame —
+        the monitoring surface of the north rule's per-partition "metrics
+        log (Iceberg metadata table)": which groups finished, row/violation
+        totals, per-check fail counts, and wall time, straight off the
+        atomic checkpoint records (so an operator can watch a running or
+        killed job with plain SQL). Missing/empty checkpoint dir → empty
+        DataFrame with the same schema."""
+        from pyspark.sql import types as T
+
+        sch = T.StructType(
+            [
+                T.StructField("group_id", T.IntegerType()),
+                T.StructField("files", T.ArrayType(T.StringType())),
+                T.StructField("n_rows", T.LongType()),
+                T.StructField("n_invalid_rows", T.LongType()),
+                T.StructField("check_fails", T.MapType(T.StringType(), T.LongType())),
+                T.StructField("elapsed_sec", T.DoubleType()),
+            ]
+        )
+        if not self.checkpoint_dir or not os.path.isdir(self.checkpoint_dir):
+            return spark.createDataFrame([], sch)
+        pattern = os.path.join(self.checkpoint_dir, "group-*.json")
+        import glob
+
+        if not glob.glob(pattern):
+            return spark.createDataFrame([], sch)
+        return spark.read.schema(sch).json(pattern)
+
     # --------------------------------------------------------------- run --
     def run(
         self,

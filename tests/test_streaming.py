@@ -123,6 +123,16 @@ def test_checkpoint_resume(spark, tmp_path):
     with open(victim) as f:
         json.load(f)  # rewritten atomically and valid again
 
+    # the lineage/metrics log is queryable as a DataFrame (north-rule
+    # "metrics log" surface): one row per finished group, totals match
+    ldf = runner.lineage_df(spark)
+    assert ldf.count() == 3
+    agg = ldf.selectExpr("sum(n_rows) r", "sum(n_invalid_rows) i").collect()[0]
+    assert agg["r"] == 30 and agg["i"] == res3.metrics.invalid_rows
+    assert runner.__class__(
+        SparkValidator(stream_schema()), checkpoint_dir=str(tmp_path / "nope")
+    ).lineage_df(spark).count() == 0
+
 
 def test_structured_streaming_foreachbatch(spark, tmp_path):
     src = str(tmp_path / "stream_src")
