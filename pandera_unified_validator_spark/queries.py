@@ -1193,6 +1193,53 @@ FROM w GROUP BY 1 ORDER BY 1
 """
 
 
+def q_multimodal_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing under the driver gate: a media table synthesized
+    deterministically from documents (payload = UTF-8 text bytes), run
+    through the REAL ``mapInPandas`` decode stage with the deterministic
+    sha256 fake codec (``fake=True`` — the documented stub; the Spark-side
+    schema/batching/UDF contract is exactly what a real decoder uses), then
+    summarized per media row (first feature + feature mean).
+
+    Oracle: the fake features are pure sha256 arithmetic — DuckDB replays
+    digest → tiled big-endian uint32 / 2^32 → float32 quantization → the
+    same two summaries, so even the stubbed codec path is value-checked."""
+    from .operators.multimodal import decode_image_features
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    feats = decode_image_features(media, dim=8, fake=True)
+    fsum = F.aggregate(
+        "features", F.lit(0.0), lambda a, x: a + x.cast("double")
+    )
+    return (
+        feats.select(
+            F.col("media_id").cast("bigint").alias("media_id"),
+            F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
+            F.round(fsum / 8.0, 6).alias("f_mean"),
+        )
+        .orderBy("media_id")
+    )
+
+
+_SQL_MULTIMODAL_FAKE_DECODE = """
+WITH m AS (SELECT doc_id AS media_id, sha256(text) AS h
+           FROM documents WHERE text IS NOT NULL),
+u AS (SELECT media_id, k,
+             CAST(CAST(concat('0x', substr(h, k * 8 + 1, 8)) AS BIGINT) AS DOUBLE)
+               / 4294967296.0 AS v
+      FROM m, unnest(range(0, 8)) AS t(k)),
+q AS (SELECT media_id, k, CAST(CAST(v AS FLOAT) AS DOUBLE) AS vf FROM u)
+SELECT media_id,
+       round(max(CASE WHEN k = 0 THEN vf END), 6) AS f0,
+       round(sum(vf) / 8.0, 6) AS f_mean
+FROM q GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "check_nulls_lineitem": (q_check_nulls_lineitem, _SQL_NULLS_LINEITEM),
     "check_ranges_lineitem": (q_check_ranges_lineitem, _SQL_RANGES_LINEITEM),
@@ -1236,6 +1283,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         q_stream_windowed_validation,
         _SQL_STREAM_WINDOWED_VALIDATION,
     ),
+    "multimodal_fake_decode": (q_multimodal_fake_decode, _SQL_MULTIMODAL_FAKE_DECODE),
 }
 
 
