@@ -114,3 +114,62 @@ def test_profile_mean_min_max_match_pandas(spark, xs):
     assert p.min == pytest.approx(pdf["x"].min())
     assert p.max == pytest.approx(pdf["x"].max())
     assert p.median == pytest.approx(pdf["x"].quantile(0.5), rel=1e-9, abs=1e-9)
+
+
+@SET
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),     # dedup key
+            st.integers(min_value=-100, max_value=100),  # tiebreak / payload
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_dedup_exact_matches_pandas_oracle(spark, rows):
+    """dedup_exact on key ``k`` with tiebreak ``v`` == pandas sort+drop_duplicates:
+    one survivor per key, smallest v wins, all columns preserved."""
+    from pandera_unified_validator_spark.operators.dedup import dedup_exact
+
+    pdf = pd.DataFrame(rows, columns=["k", "v"])
+    got = sorted(
+        (r["k"], r["v"])
+        for r in dedup_exact(spark.createDataFrame(pdf), ["k"], tiebreak="v").collect()
+    )
+    exp = sorted(
+        pdf.sort_values(["k", "v"], kind="mergesort")
+        .drop_duplicates("k", keep="first")
+        .itertuples(index=False, name=None)
+    )
+    assert got == exp
+
+
+@SET
+@given(
+    ta=st.lists(st.sampled_from("ab cd ef gh ij".split()), min_size=0, max_size=12),
+    tb=st.lists(st.sampled_from("ab cd ef gh ij".split()), min_size=0, max_size=12),
+)
+def test_ngram_jaccard_matches_python_sets(spark, ta, tb):
+    """ngram_jaccard_pairs == python set Jaccard over word 2-gram shingles
+    (short docs yield one whole-doc shingle, empty docs an empty set)."""
+    from pandera_unified_validator_spark.operators.dedup import ngram_jaccard_pairs
+
+    def grams(ws, n=2):
+        if not ws:
+            return set()
+        if len(ws) < n:
+            return {" ".join(ws)}
+        return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(ta)), (2, " ".join(tb))], "doc_id int, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a int, id_b int")
+    rows = ngram_jaccard_pairs(docs, pairs, n=2).collect()
+    ga, gb = grams(ta), grams(tb)
+    union = len(ga | gb)
+    if union == 0:
+        assert rows[0]["jaccard_sim"] is None
+    else:
+        assert rows[0]["jaccard_sim"] == round(len(ga & gb) / union, 4)
