@@ -96,7 +96,13 @@ def cmd_schema(args) -> int:
 
 
 def main(argv: list[str] | None = None) -> int:
+    from . import __version__
+
     p = argparse.ArgumentParser(prog="pandera_unified_validator_spark")
+    p.add_argument(
+        "-v", "--version", action="version",
+        version=f"pandera_unified_validator_spark {__version__}",
+    )
     sub = p.add_subparsers(dest="cmd", required=True)
 
     v = sub.add_parser("validate", help="validate data against a schema JSON")
