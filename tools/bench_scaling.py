@@ -312,10 +312,11 @@ the uniqueness shuffle at ~0.66; per-core throughput is FLAT from 4 to 16
 total cores.
 
 The two shapes bracket the engine's true scaling. Under the HEADROOM
-protocol (3-core executors, so the 8-executor level's 24 busy threads
-leave cores for driver + worker daemon + OS at BOTH ends of the pair —
-the situation every executor enjoys in a real multi-node cluster) the
-N→4N pair clears the bar: **2→8 executors = 0.885**. Under the SATURATING
+protocol (3-core executors, so even the 8-executor level's 24 busy threads
+leave cores for driver + worker daemon + OS at every level — the situation
+every executor enjoys in a real multi-node cluster) BOTH N→4N pairs clear
+the bar: **1→4 executors = 0.888 and 2→8 executors = 0.885** (speedups
+3.55× and 3.54× for 4× the executors). Under the SATURATING
 shape (4-core executors) the same 2→8 pair reads 0.736 — because at 8×4
 the job's 32 executor threads equal the box's 32 cores and the driver
 JVM, worker daemon, Python process, and OS all steal from executor time
@@ -358,10 +359,18 @@ def main() -> None:
             }
         finally:
             stop_cluster()
-        summary = _pairs(results)
+        # merge into any existing same-shape cache so separately-run pairs
+        # (e.g. 2,8 one session, 1,4 the next) accumulate per executor shape
+        cache = f"BENCH/scaling_standalone_{EXEC_CORES}c.json"
+        merged: dict[int, dict] = {}
+        if os.path.exists(cache):
+            with open(cache) as f:
+                merged = {int(k): v for k, v in json.load(f).get("levels", {}).items()}
+        merged.update(results)
+        summary = _pairs(merged)
         print(json.dumps(summary))
-        with open(f"BENCH/scaling_standalone_{EXEC_CORES}c.json", "w") as f:
-            json.dump({"levels": {str(k): v for k, v in results.items()},
+        with open(cache, "w") as f:
+            json.dump({"levels": {str(k): v for k, v in merged.items()},
                        "summary": summary, "exec_cores": EXEC_CORES,
                        "exec_memory": EXEC_MEMORY}, f, indent=1)
     else:
