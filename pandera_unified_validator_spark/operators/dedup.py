@@ -412,9 +412,15 @@ def embedding_near_dup_pairs(
     embeddings → one hot bucket → quadratic work): oversized buckets are
     refined with a second seeded signature, bounding per-bucket work at a
     bounded recall cost (pairs split across sub-buckets are missed —
-    documented trade, not silent). ON by default (4096 ≈ 8M pairs/bucket
-    worst case) so skewed corpora can't quadratic-blow silently; pass
-    ``None`` to disable.
+    documented trade, not silent). A sub-bucket that is STILL oversized
+    after refinement is by construction a near-identical cluster (the
+    second signature cannot split vectors agreeing on every hyperplane
+    sign); all-pairs output there is quadratic in a semantically redundant
+    way — 50k exact duplicates would emit 1.25e9 rows — so such clusters
+    emit the linear STAR instead (min-id representative vs each member ≥
+    threshold), which is sufficient for keep-one dedup. ON by default
+    (4096 ≈ 8M pairs/bucket worst case) so skewed corpora can't
+    quadratic-blow silently; pass ``None`` for exhaustive all-pairs.
 
     Plan shape (round 3): ONE Arrow UDF pass tags each row with its primary
     bucket, ONE hash shuffle groups by bucket, and ``applyInPandas`` emits
@@ -473,19 +479,34 @@ def embedding_near_dup_pairs(
         norms[norms == 0] = np.inf  # zero-norm vector: cosine undefined, no pairs
         Xn = X / norms[:, None]
         out_a, out_b, out_s = [], [], []
-        cols = np.arange(n)[None, :]
-        for start in range(0, n, 1024):
-            end = min(start + 1024, n)
-            blk = Xn[start:end] @ Xn.T
-            mask = (
-                (blk >= margin)
-                & (cols > np.arange(start, end)[:, None])
-                & (sub[None, :] == sub[start:end, None])
-            )
-            ia, jb = np.nonzero(mask)
-            out_a.append(ids[ia + start])
-            out_b.append(ids[jb])
-            out_s.append(blk[ia, jb])
+        for s_val in np.unique(sub):
+            idx = np.nonzero(sub == s_val)[0]
+            m = len(idx)
+            if m < 2:
+                continue
+            ids_s, Xs = ids[idx], Xn[idx]  # idx ascending -> ids_s ascending
+            if cap is not None and m > cap:
+                # near-identical cluster: the secondary signature cannot split
+                # vectors that agree on every hyperplane sign, so all-pairs
+                # output would be quadratic (50k exact dups -> 1.25e9 rows).
+                # Emit the linear STAR instead: min-id representative vs each
+                # member that clears the threshold — sufficient for keep-one
+                # dedup; pass max_bucket_rows=None for exhaustive pairs.
+                sims = Xs[1:] @ Xs[0]
+                keep = np.nonzero(sims >= margin)[0]
+                out_a.append(np.full(len(keep), ids_s[0], dtype=ids_s.dtype))
+                out_b.append(ids_s[1:][keep])
+                out_s.append(sims[keep])
+                continue
+            cols = np.arange(m)[None, :]
+            for start in range(0, m, 1024):
+                end = min(start + 1024, m)
+                blk = Xs[start:end] @ Xs.T
+                mask = (blk >= margin) & (cols > np.arange(start, end)[:, None])
+                ia, jb = np.nonzero(mask)
+                out_a.append(ids_s[ia + start])
+                out_b.append(ids_s[jb])
+                out_s.append(blk[ia, jb])
         if not out_a:
             return empty
         return pd.DataFrame(

@@ -282,3 +282,24 @@ def test_ngram_jaccard_pairs_edge_semantics(spark):
     got = sorted((r["id_a"], r["id_b"], r["jaccard_sim"]) for r in rows)
     # (1,99) dropped (99 not in docs); (1,2) duplicated; identical docs -> 1.0
     assert got == [(1, 2, 1.0), (1, 2, 1.0), (1, 3, 0.0), (3, 4, None)]
+
+
+def test_embedding_near_dup_star_fallback_on_identical_cluster(spark):
+    """A cluster the secondary signature cannot split (identical vectors)
+    emits the linear star — 300 identical vectors with cap 100 yield 299
+    representative pairs, not 300*299/2 — while distinct-but-colliding
+    vectors below threshold emit nothing."""
+    from pandera_unified_validator_spark.operators.dedup import embedding_near_dup_pairs
+
+    ident = spark.range(300).select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(1), F.lit(16)), lambda i: i.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    pairs = embedding_near_dup_pairs(
+        ident, threshold=0.999, n_bits=8, max_bucket_rows=100
+    ).collect()
+    assert len(pairs) == 299
+    assert all(r["id_a"] == 0 and r["cosine_sim"] == 1.0 for r in pairs)
+    assert {r["id_b"] for r in pairs} == set(range(1, 300))
