@@ -78,11 +78,15 @@ def suggest_fixes(report: ValidationReport, schema: ValidationSchema) -> list[Fi
                     ),
                 )
             )
+    seen: set[tuple[str, str]] = set()
     for chk in report.failed_checks:
         spec = schema.columns.get(chk.column)
         if spec is None:
             continue
+        if ("clamp_range", chk.column) in seen:
+            continue  # one clamp per column, even when both bounds failed
         if chk.check in ("ge", "le", "gt", "lt") and spec.ge is not None and spec.le is not None:
+            seen.add(("clamp_range", chk.column))
             lo, hi = spec.ge, spec.le
             out.append(
                 FixSuggestion(
@@ -90,8 +94,16 @@ def suggest_fixes(report: ValidationReport, schema: ValidationSchema) -> list[Fi
                     column=chk.column,
                     description=f"clamp {chk.column!r} into [{lo}, {hi}]",
                     confidence=0.5,
+                    # greatest/least SKIP nulls in Spark, so a bare clamp
+                    # would silently rewrite NULL to the lower bound —
+                    # invented data; a missing value is the not-null fix's
+                    # job, not the range fix's. Preserve NULL explicitly.
                     fixer=lambda df, c=chk.column, a=lo, b=hi: df.withColumn(
-                        c, F.least(F.greatest(F.col(c), F.lit(a)), F.lit(b))
+                        c,
+                        F.when(
+                            F.col(c).isNotNull(),
+                            F.least(F.greatest(F.col(c), F.lit(a)), F.lit(b)),
+                        ),
                     ),
                 )
             )

@@ -1193,6 +1193,43 @@ FROM w GROUP BY 1 ORDER BY 1
 """
 
 
+def q_apply_fixes_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F4 under the driver gate: validate l_quantity against [2, 49]
+    (violations exist at both ends of the 1..50 data range), derive the
+    STRUCTURED clamp suggestion from the failed-check report (F1 — no
+    error-string parsing, unlike reference core/validator.py:209-248),
+    apply the lazy fixer (F4), and summarize the repaired column. Oracle:
+    the clamp is plain least/greatest arithmetic in SQL."""
+    from .operators.fixes import apply_fixes, suggest_fixes
+
+    li = _t(spark, sf_dir, "lineitem")
+    schema = SchemaBuilder("lineitem").column("l_quantity", "float", ge=2.0, le=49.0).build()
+    res = SparkValidator(schema).validate(li)
+    fixes = suggest_fixes(res.report, schema)
+    assert any(s.kind == "clamp_range" for s in fixes)  # the gate data violates both ends
+    fixed = apply_fixes(li, fixes)
+    q = F.col("l_quantity")
+    return fixed.agg(
+        F.round(F.min(q), 4).alias("qmin"),
+        F.round(F.max(q), 4).alias("qmax"),
+        F.round(F.sum(q), 4).alias("qsum"),
+        F.sum((q == 2.0).cast("long")).alias("at_lo"),
+        F.sum((q == 49.0).cast("long")).alias("at_hi"),
+    )
+
+
+_SQL_APPLY_FIXES_LINEITEM = """
+WITH f AS (SELECT least(greatest(l_quantity, 2.0), 49.0) AS q
+           FROM lineitem WHERE l_quantity IS NOT NULL)
+SELECT round(min(q), 4) AS qmin,
+       round(max(q), 4) AS qmax,
+       round(sum(q), 4) AS qsum,
+       CAST(count(*) FILTER (q = 2.0) AS BIGINT) AS at_lo,
+       CAST(count(*) FILTER (q = 49.0) AS BIGINT) AS at_hi
+FROM f
+"""
+
+
 def q_multimodal_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing under the driver gate: a media table synthesized
     deterministically from documents (payload = UTF-8 text bytes), run
@@ -1284,6 +1321,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         _SQL_STREAM_WINDOWED_VALIDATION,
     ),
     "multimodal_fake_decode": (q_multimodal_fake_decode, _SQL_MULTIMODAL_FAKE_DECODE),
+    "apply_fixes_lineitem": (q_apply_fixes_lineitem, _SQL_APPLY_FIXES_LINEITEM),
 }
 
 

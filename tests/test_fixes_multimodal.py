@@ -95,3 +95,22 @@ def test_resize_and_frame_sampling_stubs(spark, media):
     # m3 is 3500 ms → frames at 0,1000,2000,3000
     assert [r["ts_ms"] for r in frames] == [0, 1000, 2000, 3000]
     assert all(r["media_id"] == "m3" and r["frame"] is not None for r in frames)
+
+
+def test_clamp_fix_preserves_nulls(spark):
+    """clamp_range must not invent data: Spark's greatest/least skip nulls,
+    so an unguarded clamp rewrites NULL to the lower bound — the fixer keeps
+    NULL (missing values belong to the not-null fix, not the range fix)."""
+    from pandera_unified_validator_spark import SchemaBuilder, SparkValidator
+    from pandera_unified_validator_spark.operators.fixes import (
+        apply_fixes,
+        suggest_fixes,
+    )
+
+    schema = SchemaBuilder("t").column("x", "float", ge=2.0, le=4.0).build()
+    df = spark.createDataFrame([(0.0,), (None,), (9.0,), (3.0,)], "x double")
+    res = SparkValidator(schema).validate(df)
+    fixes = suggest_fixes(res.report, schema)
+    assert [s.kind for s in fixes] == ["clamp_range"]
+    got = [r["x"] for r in apply_fixes(df, fixes).collect()]
+    assert sorted(got, key=lambda v: (v is None, v)) == [2.0, 3.0, 4.0, None]
