@@ -12,7 +12,14 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["dot", "l2_norm", "cosine", "cosine_pandas_udf", "hyperplane_signature_udf"]
+__all__ = [
+    "dot",
+    "l2_norm",
+    "cosine",
+    "cosine_pandas_udf",
+    "hyperplane_signature_udf",
+    "hyperplane_signature2_udf",
+]
 
 
 def dot(a: Column | str, b: Column | str) -> Column:
@@ -88,3 +95,37 @@ def hyperplane_signature_udf(dim: int, n_bits: int = 16, seed: int = 42):
         return pd.Series(bits @ weights)
 
     return _sig
+
+
+def hyperplane_signature2_udf(dim: int, n_bits: int = 16, seed: int = 42):
+    """TWO independent hyperplane signatures packed into one long — the
+    primary (``seed``) in the low ``n_bits`` bits, the secondary
+    (``seed + 1``) shifted above it. One Arrow transfer of the vector column
+    yields both levels of a two-level LSH bucket key; the primary recovered
+    by ``packed & (2^n_bits − 1)`` is bit-identical to
+    ``hyperplane_signature_udf(dim, n_bits, seed)`` (same quantized-plane
+    draw), so oracles replaying the primary bucketing stay valid. Packing
+    (rather than a struct result) guarantees the UDF is planned as ONE
+    ArrowEvalPython column however Catalyst collapses the downstream
+    projections that extract the two levels."""
+    import numpy as np
+
+    if 2 * n_bits > 62:
+        raise ValueError(f"n_bits={n_bits}: two packed signatures need 2*n_bits <= 62")
+    p1 = np.random.RandomState(seed).standard_normal((dim, n_bits))
+    p2 = np.random.RandomState(seed + 1).standard_normal((dim, n_bits))
+    planes = np.concatenate([p1, p2], axis=1).astype("float32").astype("float64")
+    weights = np.concatenate(
+        [(1 << np.arange(n_bits)), (1 << (np.arange(n_bits) + n_bits))]
+    ).astype("int64")
+
+    @F.pandas_udf(T.LongType())
+    def _sig2(col):
+        import numpy as np
+        import pandas as pd
+
+        mat = np.vstack(col.to_numpy()).astype("float64")
+        bits = (mat @ planes) > 0
+        return pd.Series(bits @ weights)
+
+    return _sig2

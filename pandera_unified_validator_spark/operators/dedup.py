@@ -16,13 +16,16 @@ components for the 100 TB corpus use case. Scale shapes:
 
 from __future__ import annotations
 
+import logging
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import words
-from ..functions.vectors import hyperplane_signature_udf
+from ..functions.vectors import hyperplane_signature2_udf, hyperplane_signature_udf
+
+_LOG = logging.getLogger(__name__)
 
 __all__ = [
     "dedup_exact",
@@ -55,16 +58,19 @@ def dedup_exact(
     UI shuffleWriteBytes): round-2 shape 33.0 MB vs this shape 12.7 MB —
     2.6x fewer exchange bytes, the number that matters on a network-bound
     cluster shuffle (wall time is flat on this page-cached single host).
-    The winner per group is the row with the smallest ``tiebreak``
-    (deterministic) via min_by over one hash-partitioned aggregation — no
-    window sort; partial aggregation keeps per-partition traffic to one
-    candidate row per distinct key.
+    The winner per group is the row with the smallest ``tiebreak`` via
+    min_by over one hash-partitioned aggregation — no window sort; partial
+    aggregation keeps per-partition traffic to one candidate row per
+    distinct key. ``tiebreak`` defaults to the first NON-key column (a
+    grouping column is constant within its group, so it could not break
+    ties); the result is deterministic when the tiebreak column is distinct
+    within every group — pass e.g. a row id to guarantee that.
     """
     cols = list(cols) if cols else df.columns
-    if tiebreak is None:
-        tiebreak = cols[0]
     key_set = set(cols)
     rest = [c for c in df.columns if c not in key_set]
+    if tiebreak is None:
+        tiebreak = rest[0] if rest else cols[0]
     if not rest:
         # key covers every column: surviving rows are fully identical, a
         # map-side-combined distinct is the minimal plan
@@ -170,18 +176,29 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Band the signature, hash each band, equi-join docs sharing a band
     bucket → candidate pairs (a < b). The join is the scale move: candidate
-    generation is linear in corpus size + bucket sizes, never all-pairs."""
+    generation is linear in corpus size + bucket sizes, never all-pairs.
+
+    Each band bucket is one codegen'd ``xxhash64(band_no, sig[i], …)`` over
+    the band's signature elements — whole-stage-generated, unlike the
+    round-3 ``F.transform`` + array→string casts, which ran interpreted per
+    row (the same explode-vs-HOF trade CLAUDE.md measured at ~7x on the
+    minhash aggregation). Candidates are identical either way: two docs
+    share a bucket iff their band elements are equal (modulo a vanishing
+    2^-64 hash collision, which verification removes)."""
     banded = df.select(
         F.col(id_col).alias("__id"),
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    b.cast("string"),
-                    F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band)
-                    .cast("array<string>")
-                    .cast("string"),
-                ),
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b),
+                        *[
+                            F.col(sig_col)[b * rows_per_band + i]
+                            for i in range(rows_per_band)
+                        ],
+                    )
+                    for b in range(bands)
+                ]
             )
         ).alias("__band", "__bucket"),
     )
@@ -410,56 +427,87 @@ def embedding_near_dup_pairs(
     ``dim`` is inferred from the first NON-NULL vector when not given (a
     leading NULL row must not collapse dim to 1 and shape-crash the UDF).
     ``max_bucket_rows`` guards against a degenerate bucket (skewed
-    embeddings → one hot bucket → quadratic work): oversized buckets are
-    refined with a second seeded signature, bounding per-bucket work at a
-    bounded recall cost (pairs split across sub-buckets are missed —
-    documented trade, not silent). A sub-bucket that is STILL oversized
-    after refinement is by construction a near-identical cluster (the
-    second signature cannot split vectors agreeing on every hyperplane
-    sign); all-pairs output there is quadratic in a semantically redundant
-    way — 50k exact duplicates would emit 1.25e9 rows — so such clusters
-    emit the linear STAR instead (min-id representative vs each member ≥
-    threshold), which is sufficient for keep-one dedup. ON by default
-    (4096 ≈ 8M pairs/bucket worst case) so skewed corpora can't
-    quadratic-blow silently; pass ``None`` for exhaustive all-pairs.
+    embeddings → one hot bucket → quadratic work): HOT primary buckets
+    (> cap rows) are split by a second seeded signature **in the shuffle
+    key itself**, so no ``applyInPandas`` group ever materializes an
+    unbounded hot bucket in one task (round 3 refined inside the kernel,
+    which bounded pair *emission* but still shipped the whole hot bucket —
+    ~2.4e8 rows × dim at 10^12 vectors / 4096 buckets — into one task's
+    memory before refinement could act). Pairs split across sub-buckets are
+    missed — a bounded recall cost, documented not silent. A sub-bucket
+    that is STILL oversized after the split is by construction a
+    near-identical cluster (the second signature cannot split vectors
+    agreeing on every hyperplane sign); all-pairs output there is quadratic
+    in a semantically redundant way — 50k exact duplicates would emit
+    1.25e9 rows — so such clusters emit the linear STAR instead (min-id
+    representative vs each member ≥ threshold), sufficient for keep-one
+    dedup; a driver-side warning names the hot buckets when this path arms.
+    ON by default (4096 ≈ 8M pairs/bucket worst case) so skewed corpora
+    can't quadratic-blow silently; pass ``None`` for exhaustive all-pairs.
 
-    Plan shape (round 3): ONE Arrow UDF pass tags each row with its primary
-    bucket, ONE hash shuffle groups by bucket, and ``applyInPandas`` emits
-    surviving pairs per bucket via numpy block-matmul (1024-row blocks keep
-    peak memory ~32 MB regardless of bucket size; secondary refinement is
-    computed in-group from the vectors already present). The earlier shape
-    (self-join on bucket + a bucket-sizes join) shuffled the corpus three
-    times, re-ran the signature UDF on both join sides, and scored every
-    candidate pair with an interpreted HOF cosine; this one shuffles each
-    row once and emits only pairs that can pass the threshold."""
-    import numpy as np
-
+    Plan shape (round 4): ONE Arrow UDF pass computes BOTH signature levels
+    packed in one long (``hyperplane_signature2_udf`` — primary bits are
+    bit-identical to ``hyperplane_signature_udf``, so SQL oracles replaying
+    the primary bucketing stay valid), one tiny map-side-combined count job
+    (≤ 2^n_bits rows cross its shuffle) finds hot buckets, ONE hash shuffle
+    groups by (bucket, sub-bucket-if-hot), and ``applyInPandas`` emits
+    surviving pairs per group via numpy block-matmul (1024-row blocks keep
+    the matmul's peak ~32 MB; the group itself is ≤ cap rows except for
+    near-identical clusters). The count job re-evaluates the signature UDF
+    over a column-pruned scan rather than caching the corpus — at 100 TB an
+    extra pruned pass beats persisting vectors across executors."""
     df = df.where(F.col(vec_col).isNotNull())  # null vectors can't match
     if dim is None:
         first = df.select(vec_col).first()
         # empty/all-null input: any dim works, no UDF batch ever runs
         dim = len(first[0]) if first is not None else 1
-    sig = hyperplane_signature_udf(dim, n_bits, seed)
-    tagged = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).withColumn(
-        "b", sig(F.col("v"))
-    )
+    cap = max_bucket_rows
+    if cap is None:
+        sig = hyperplane_signature_udf(dim, n_bits, seed)
+        tagged = df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+        ).withColumn("b", sig(F.col("v"))).withColumn("k2", F.lit(0).cast("long"))
+    else:
+        sig2 = hyperplane_signature2_udf(dim, n_bits, seed)
+        mask = (1 << n_bits) - 1
+        tagged = (
+            df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+            .withColumn("__bs", sig2(F.col("v")))
+            .select(
+                "id",
+                "v",
+                F.col("__bs").bitwiseAND(F.lit(mask)).alias("b"),
+                F.shiftrightunsigned("__bs", n_bits).alias("sub"),
+            )
+        )
+        # hot-bucket detection: map-side combine means ≤ 2^n_bits rows per
+        # partition cross this shuffle; the collected set is ≤ 2^n_bits ids
+        hot = [
+            r["b"]
+            for r in tagged.groupBy("b")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > cap)
+            .select("b")
+            .collect()
+        ]
+        if hot:
+            _LOG.warning(
+                "embedding_near_dup_pairs: %d hot LSH bucket(s) exceed "
+                "max_bucket_rows=%d and are split by the secondary signature "
+                "(cross-sub-bucket pairs are not emitted); sub-buckets still "
+                "over the cap emit a linear star, not all pairs",
+                len(hot),
+                cap,
+            )
+            k2 = F.when(F.col("b").isin(hot), F.col("sub")).otherwise(F.lit(0))
+        else:
+            k2 = F.lit(0).cast("long")
+        tagged = tagged.select("id", "v", "b", k2.alias("k2"))
     id_dt = tagged.schema["id"].dataType.simpleString()
     out_schema = f"id_a {id_dt}, id_b {id_dt}, cosine_sim double"
 
-    # same quantize-then-float64 planes as hyperplane_signature_udf(seed+1):
-    # the refinement's equivalence classes match the previous implementation
-    sub_planes = (
-        np.random.RandomState(seed + 1)
-        .standard_normal((dim, n_bits))
-        .astype("float32")
-        .astype("float64")
-        if max_bucket_rows is not None
-        else None
-    )
-    weights = (1 << np.arange(n_bits)).astype("int64")
     # emit everything that could still pass the in-plan round(·,4) >= threshold
     margin = threshold - 5e-5
-    cap = max_bucket_rows
 
     def emit(pdf):
         import numpy as np
@@ -472,41 +520,27 @@ def embedding_near_dup_pairs(
         pdf = pdf.sort_values("id", kind="mergesort").reset_index(drop=True)
         ids = pdf["id"].to_numpy()
         X = np.vstack(pdf["v"].to_numpy()).astype("float64")
-        if sub_planes is not None and n > cap:
-            sub = (((X @ sub_planes) > 0) @ weights).astype("int64")
-        else:
-            sub = np.zeros(n, dtype="int64")
         norms = np.sqrt((X * X).sum(axis=1))
         norms[norms == 0] = np.inf  # zero-norm vector: cosine undefined, no pairs
         Xn = X / norms[:, None]
         out_a, out_b, out_s = [], [], []
-        for s_val in np.unique(sub):
-            idx = np.nonzero(sub == s_val)[0]
-            m = len(idx)
-            if m < 2:
-                continue
-            ids_s, Xs = ids[idx], Xn[idx]  # idx ascending -> ids_s ascending
-            if cap is not None and m > cap:
-                # near-identical cluster: the secondary signature cannot split
-                # vectors that agree on every hyperplane sign, so all-pairs
-                # output would be quadratic (50k exact dups -> 1.25e9 rows).
-                # Emit the linear STAR instead: min-id representative vs each
-                # member that clears the threshold — sufficient for keep-one
-                # dedup; pass max_bucket_rows=None for exhaustive pairs.
-                sims = Xs[1:] @ Xs[0]
-                keep = np.nonzero(sims >= margin)[0]
-                out_a.append(np.full(len(keep), ids_s[0], dtype=ids_s.dtype))
-                out_b.append(ids_s[1:][keep])
-                out_s.append(sims[keep])
-                continue
-            cols = np.arange(m)[None, :]
-            for start in range(0, m, 1024):
-                end = min(start + 1024, m)
-                blk = Xs[start:end] @ Xs.T
-                mask = (blk >= margin) & (cols > np.arange(start, end)[:, None])
-                ia, jb = np.nonzero(mask)
-                out_a.append(ids_s[ia + start])
-                out_b.append(ids_s[jb])
+        if cap is not None and n > cap:
+            # still oversized after the pre-shuffle sub-bucket split: a
+            # near-identical cluster — emit the linear STAR (see docstring)
+            sims = Xn[1:] @ Xn[0]
+            keep = np.nonzero(sims >= margin)[0]
+            out_a.append(np.full(len(keep), ids[0], dtype=ids.dtype))
+            out_b.append(ids[1:][keep])
+            out_s.append(sims[keep])
+        else:
+            cols = np.arange(n)[None, :]
+            for start in range(0, n, 1024):
+                end = min(start + 1024, n)
+                blk = Xn[start:end] @ Xn.T
+                msk = (blk >= margin) & (cols > np.arange(start, end)[:, None])
+                ia, jb = np.nonzero(msk)
+                out_a.append(ids[ia + start])
+                out_b.append(ids[jb])
                 out_s.append(blk[ia, jb])
         if not out_a:
             return empty
@@ -519,7 +553,7 @@ def embedding_near_dup_pairs(
         )
 
     return (
-        tagged.groupBy("b")
+        tagged.groupBy("b", "k2")
         .applyInPandas(emit, out_schema)
         .select("id_a", "id_b", F.round("cosine_sim", 4).alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)

@@ -83,9 +83,15 @@ def suggest_fixes(report: ValidationReport, schema: ValidationSchema) -> list[Fi
         spec = schema.columns.get(chk.column)
         if spec is None:
             continue
-        if ("clamp_range", chk.column) in seen:
-            continue  # one clamp per column, even when both bounds failed
-        if chk.check in ("ge", "le", "gt", "lt") and spec.ge is not None and spec.le is not None:
+        # dedupe guards live INSIDE each kind's branch (no early continue),
+        # so a column that already got one fix kind still reaches others
+        if (
+            chk.check in ("ge", "le", "gt", "lt")
+            and spec.ge is not None
+            and spec.le is not None
+            and ("clamp_range", chk.column) not in seen
+        ):
+            # one clamp per column, even when both bounds failed
             seen.add(("clamp_range", chk.column))
             lo, hi = spec.ge, spec.le
             out.append(

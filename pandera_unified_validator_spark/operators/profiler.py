@@ -74,7 +74,7 @@ class ProfileReport:
     correlations: dict[tuple[str, str], float] = field(default_factory=dict)
     quality: dict[str, float] = field(default_factory=dict)
     # external-backend dispatch (reference profiling/profiler.py:122-124)
-    backend: str = "builtin"
+    backend: str = "built-in"
     raw_backend_report: Any | None = None
 
     @property
@@ -158,7 +158,7 @@ class DataProfiler:
     passes (profiling/profiler.py:257-293).
     """
 
-    SUPPORTED_BACKENDS = {"builtin", "pandas-profiling", "ydata-profiling", "sweetviz"}
+    SUPPORTED_BACKENDS = {"built-in", "pandas-profiling", "ydata-profiling", "sweetviz"}
 
     def __init__(
         self,
@@ -168,20 +168,23 @@ class DataProfiler:
         quantile_error: float = 0.01,
         correlations: bool = True,
         max_corr_columns: int = 8,
-        backend: str = "builtin",
+        backend: str = "built-in",
         backend_sample_rows: int = 100_000,
     ) -> None:
         """``backend`` dispatches to an external profiling library like the
         reference's DataProfiler (profiling/profiler.py:164-176, 248-255):
         ``"ydata-profiling"``/``"pandas-profiling"`` or ``"sweetviz"`` are
         soft-imported; when the library is missing the profile silently falls
-        back to the built-in stats with ``report.backend == "builtin"`` —
-        the reference's exact contract (it returns ``(None, "built-in")``).
+        back to the built-in stats with ``report.backend == "built-in"`` —
+        the reference's exact contract (it returns ``(None, "built-in")``,
+        profiling/profiler.py:255). ``"builtin"`` is accepted as an alias.
         Those libraries are pandas-only, so the external pass runs on a
         driver-side sample capped at ``backend_sample_rows`` (the built-in
         distributed stats are ALWAYS computed over the full DataFrame; only
         the cosmetic external report samples)."""
         backend = backend.lower().replace("_", "-")
+        if backend == "builtin":  # alias for the reference's spelling
+            backend = "built-in"
         if backend not in self.SUPPORTED_BACKENDS:
             raise ValueError(
                 f"Unsupported backend {backend!r}. Supported: {sorted(self.SUPPORTED_BACKENDS)}"
@@ -202,17 +205,17 @@ class DataProfiler:
             try:
                 import ydata_profiling  # type: ignore[import-not-found]
             except ImportError:
-                return None, "builtin"
+                return None, "built-in"
             pdf = df.limit(self.backend_sample_rows).toPandas()
             return ydata_profiling.ProfileReport(pdf, explorative=True), self.backend
         if self.backend == "sweetviz":
             try:
                 import sweetviz  # type: ignore[import-not-found]
             except ImportError:
-                return None, "builtin"
+                return None, "built-in"
             pdf = df.limit(self.backend_sample_rows).toPandas()
             return sweetviz.analyze(pdf), self.backend
-        return None, "builtin"
+        return None, "built-in"
 
     # ------------------------------------------------------------------ #
     def profile(self, df: DataFrame, columns: Sequence[str] | None = None) -> ProfileReport:

@@ -26,6 +26,7 @@ controls raise-vs-return, matching ``core/validator.py:136-137``.
 
 from __future__ import annotations
 
+import logging
 import time
 from dataclasses import dataclass, field
 from functools import reduce
@@ -48,6 +49,8 @@ __all__ = ["SparkValidator", "ValidationResult", "ValidationFailedError", "FLAG_
 FLAG_PREFIX = "__chk_"
 _PID = "__puv_pid"
 _ROW_OK = "__puv_row_ok"
+
+_LOG = logging.getLogger(__name__)
 
 
 class ValidationFailedError(Exception):
@@ -146,18 +149,21 @@ class SparkValidator:
           few 10k at 10^12 rows), never lose a duplicate, and the exact pass
           removes them. Correct for mostly-clean data; with huge duplicate
           sets the candidate broadcast degrades — keep "direct" there.
-        * ``"auto"`` — one cheap estimate job (count + approx_count_distinct,
-          column-pruned scan) decides: dup-key estimate within
-          ``broadcast_dup_limit`` AND above estimator noise → broadcast join
-          back (the fast clean-data plan); otherwise → plain shuffled left
-          join (AQE may still broadcast at runtime if the set turns out
-          small). Heavily-duplicated 10^12-row inputs can't OOM the driver.
-          The estimate is deliberately conservative: approx_count_distinct
-          error grows with n, so at extreme row counts the fallback join is
-          chosen even for clean data — correct either way, never unsafe.
-          **Default** — callers who haven't read this far get the OOM-safe
-          plan; the chosen join shape is surfaced per check in
-          ``report.metadata["unique_join_plan"]``.
+        * ``"auto"`` — the dup-key set is computed EAGERLY (persist +
+          count): the same column-pruned scan + map-side-combined groupBy
+          the join-back needs anyway runs as its own job, the (tiny, for
+          mostly-clean data) result is cached, and the EXACT dup-key count
+          picks the join-back shape — within ``broadcast_dup_limit`` →
+          broadcast (the fast clean-data plan, zero exchange on the big
+          side); otherwise → plain shuffled left join from the cache (AQE
+          may still broadcast at runtime). Heavily-duplicated 10^12-row
+          inputs can't OOM the driver, and total input scans equal the
+          ``"direct"`` plan's two (round 3 ran a third, separate
+          approx_count_distinct estimate scan before the main pass — it
+          cost +64% on ``check_unique`` and −23% token throughput,
+          BENCH_r02→r03). **Default** — callers who haven't read this far
+          get the OOM-safe plan; the chosen join shape is surfaced per
+          check in ``report.metadata["unique_join_plan"]``.
         """
         if unique_strategy not in ("direct", "hash_prefilter", "auto"):
             raise ValueError(f"unknown unique_strategy {unique_strategy!r}")
@@ -172,6 +178,12 @@ class SparkValidator:
         self.broadcast_dup_limit = int(broadcast_dup_limit)
         # filled per annotate() call: {check_name: "broadcast" | "shuffle"}
         self.unique_join_plan: dict[str, str] = {}
+        # filled per annotate() call: human-readable contract caveats
+        # (e.g. unique skipped on a stream) — surfaced in report.warnings
+        self.warnings: list[str] = []
+        # dup-key sets cached by the "auto" strategy; released on the next
+        # annotate() (unpersist only drops the cache — recompute is safe)
+        self._persisted: list[DataFrame] = []
 
     # ------------------------------------------------------------------ #
     def annotate(self, df: DataFrame) -> tuple[DataFrame, list[CompiledCheck], list[str]]:
@@ -181,6 +193,11 @@ class SparkValidator:
         referential checks become broadcast-join-produced flags.
         """
         row_checks, global_checks, missing = compile_schema(self.schema, df.columns)
+        self.unique_join_plan = {}
+        self.warnings = []
+        for cached in self._persisted:
+            cached.unpersist(blocking=False)
+        self._persisted = []
         annotated = df.withColumn(_PID, F.spark_partition_id())
 
         flag_cols: list[Column] = []
@@ -193,27 +210,42 @@ class SparkValidator:
         annotated = annotated.select("*", *flag_cols)
 
         # unique (C8): dup-key set via partial-agg groupBy → broadcast join.
-        # Not defined on an unbounded stream (a duplicate may arrive later);
-        # streaming inputs skip it — use the batch path (or foreachBatch,
-        # where each micro-batch is a bounded DataFrame) for uniqueness.
         for g in global_checks:
-            if g.check != "unique" or df.isStreaming:
+            if g.check != "unique":
+                continue
+            if df.isStreaming:
+                # Not defined on an unbounded stream (a duplicate may arrive
+                # later). Skip, but LOUDLY — a caller declaring unique=True
+                # on a stream must not get a silently weaker contract.
+                msg = (
+                    f"unique check {g.name!r} skipped: uniqueness is "
+                    "undefined on an unbounded stream; validate bounded "
+                    "micro-batches via foreachBatch "
+                    "(streaming.StreamingValidationSink) instead"
+                )
+                _LOG.warning(msg)
+                self.warnings.append(msg)
                 continue
             col = g.column
             nn = df.filter(F.col(col).isNotNull())
             strategy = self.unique_strategy
             use_broadcast = True
+            dup_keys: DataFrame | None = None
             if strategy == "auto":
-                # one column-pruned estimate job; rsd=0.02 keeps the noise
-                # floor tight without an expensive sketch
-                est = nn.agg(
-                    F.count(F.lit(1)).alias("__n"),
-                    F.approx_count_distinct(col, rsd=0.02).alias("__nd"),
-                ).collect()[0]
-                dup_est = max(int(est["__n"]) - int(est["__nd"]), 0)
-                noise = int(0.04 * est["__n"])  # 2·rsd — estimator slack
-                # broadcast only when confident the true dup-key count fits
-                use_broadcast = (dup_est + noise) <= self.broadcast_dup_limit
+                # Eager dup-key job: the column-pruned scan + map-side-
+                # combined groupBy the join-back needs anyway, cached, so the
+                # EXACT dup-key count picks the join shape with no extra
+                # input scan (round 3's separate approx_count_distinct
+                # estimate job was a third scan: +64% check_unique wall).
+                dup_keys = (
+                    nn.groupBy(col)
+                    .agg(F.count(F.lit(1)).alias("__dup_n"))
+                    .filter(F.col("__dup_n") > 1)
+                    .select(F.col(col).alias("__dup_key"))
+                    .persist()
+                )
+                self._persisted.append(dup_keys)
+                use_broadcast = dup_keys.count() <= self.broadcast_dup_limit
                 strategy = "direct"
             self.unique_join_plan[g.name] = "broadcast" if use_broadcast else "shuffle"
             if strategy == "hash_prefilter":
@@ -236,7 +268,7 @@ class SparkValidator:
                     .filter(F.col("__dup_n") > 1)
                     .select(F.col(col).alias("__dup_key"))
                 )
-            else:
+            elif dup_keys is None:
                 dup_keys = (
                     nn.groupBy(col)
                     .agg(F.count(F.lit(1)).alias("__dup_n"))
@@ -352,6 +384,7 @@ class SparkValidator:
             is_valid=not schema_errors and all(r.passed for r in results),
             checks=results,
             errors=tuple(schema_errors),
+            warnings=tuple(self.warnings),
             n_rows=int(n_rows),
             n_invalid_rows=int(n_invalid),
             metadata={

@@ -303,3 +303,75 @@ def test_embedding_near_dup_star_fallback_on_identical_cluster(spark):
     assert len(pairs) == 299
     assert all(r["id_a"] == 0 and r["cosine_sim"] == 1.0 for r in pairs)
     assert {r["id_b"] for r in pairs} == set(range(1, 300))
+
+
+def test_embedding_near_dup_hot_bucket_splits_in_shuffle_key(spark):
+    """Round-4 scale fix: a HOT primary bucket is split by the secondary
+    signature IN THE SHUFFLE KEY, so each applyInPandas group is a bounded
+    sub-bucket. Observable consequence: sub-buckets of size <= cap get full
+    all-pairs output — if the whole hot bucket still landed in one group
+    (n > cap), the kernel would emit only the linear star. Two 12-vector
+    clusters share a primary bucket (24 > cap=16) but differ in secondary:
+    the split must yield 2 * C(12,2) = 132 member-member pairs, identical
+    to the exhaustive max_bucket_rows=None result."""
+    import numpy as np
+
+    dim, nb, seed = 8, 4, 42
+    p1 = np.random.RandomState(seed).standard_normal((dim, nb))
+    p2 = np.random.RandomState(seed + 1).standard_normal((dim, nb))
+    planes = np.concatenate([p1, p2], axis=1).astype("float32").astype("float64")
+    w = np.concatenate(
+        [(1 << np.arange(nb)), (1 << (np.arange(nb) + nb))]
+    ).astype("int64")
+
+    def sigs(X):
+        packed = (((X @ planes) > 0) @ w).astype("int64")
+        return packed & ((1 << nb) - 1), packed >> nb
+
+    # deterministic search: two unit directions sharing the primary bucket,
+    # differing in secondary, and far apart in cosine (cross pairs filtered)
+    rng = np.random.RandomState(7)
+    u = v = None
+    for _ in range(5000):
+        cand = rng.standard_normal((2, dim))
+        cand /= np.linalg.norm(cand, axis=1)[:, None]
+        (b1, b2), (s1, s2) = sigs(cand)
+        if b1 == b2 and s1 != s2 and abs(cand[0] @ cand[1]) < 0.8:
+            u, v = cand
+            break
+    assert u is not None, "no direction pair found — widen the search"
+
+    eps = 1e-6
+    cluster = np.concatenate(
+        [
+            u[None, :] + eps * rng.standard_normal((12, dim)),
+            v[None, :] + eps * rng.standard_normal((12, dim)),
+        ]
+    )
+    b, s = sigs(cluster)
+    # perturbations must not flip any signature bit (else resample the test)
+    assert len(set(b)) == 1 and sorted(set(s)) == sorted({s[0], s[12]})
+
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in enumerate(cluster)],
+        "vec_id int, embedding array<double>",
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            df, threshold=0.99, n_bits=nb, seed=seed, max_bucket_rows=16
+        ).collect()
+    }
+    expect = {(a, b_) for a in range(12) for b_ in range(a + 1, 12)} | {
+        (a, b_) for a in range(12, 24) for b_ in range(a + 1, 24)
+    }
+    assert got == expect, f"missing={expect - got} extra={got - expect}"
+    # and the capped result equals the exhaustive one here (cross-cluster
+    # cosine < threshold, so the sub-split loses nothing in this geometry)
+    exhaustive = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            df, threshold=0.99, n_bits=nb, seed=seed, max_bucket_rows=None
+        ).collect()
+    }
+    assert got == exhaustive

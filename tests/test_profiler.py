@@ -203,11 +203,13 @@ def test_profiler_backend_dispatch(spark):
     df = spark.range(100).selectExpr("id", "cast(id % 7 as double) as x")
     # ydata-profiling / sweetviz are not installed in this container
     rep = DataProfiler(backend="ydata-profiling").profile(df)
-    assert rep.backend == "builtin" and rep.raw_backend_report is None
+    assert rep.backend == "built-in" and rep.raw_backend_report is None
     assert rep.columns["x"].mean is not None  # builtin stats still full
-    assert rep.to_dict()["backend"] == "builtin"
+    assert rep.to_dict()["backend"] == "built-in"
     rep2 = DataProfiler(backend="sweetviz").profile(df)
-    assert rep2.backend == "builtin"
+    assert rep2.backend == "built-in"
+    # legacy spelling accepted as a selectable alias
+    assert DataProfiler(backend="builtin").backend == "built-in"
 
 
 def test_mean_drift_df(spark):

@@ -206,3 +206,34 @@ def test_token_table_group_runner_end_to_end(spark, tmp_path):
     res2 = runner.run(spark, p)
     assert all(g.resumed for g in res2.groups)
     assert res2.metrics.invalid_rows == res.metrics.invalid_rows
+
+
+def test_streaming_unique_skip_is_loud(spark, tmp_path, caplog):
+    """unique=True on an unbounded stream is undefined and skipped — but the
+    skip must surface (round-3 verdict: a silently weaker contract), both as
+    a logging warning and in validator.warnings; the same schema on a
+    bounded batch runs the unique check and reports no warning."""
+    import logging
+
+    schema = (
+        SchemaBuilder("u")
+        .column("id", "int", unique=True)
+        .column("value", "float")
+        .build()
+    )
+    src = str(tmp_path / "uniq_src")
+    spark.createDataFrame(
+        [(1, 1.0), (1, 2.0), (2, 3.0)], "id int, value double"
+    ).write.parquet(src)
+    stream = spark.readStream.schema("id int, value double").parquet(src)
+    v = SparkValidator(schema)
+    with caplog.at_level(logging.WARNING):
+        annotated, checks, _ = v.annotate(stream)
+    assert all(c.check != "unique" for c in checks)
+    assert len(v.warnings) == 1 and "foreachBatch" in v.warnings[0]
+    assert any("skipped" in r.message for r in caplog.records)
+    # bounded batch: check runs, warning absent, and it lands in the report
+    res = v.validate(spark.read.parquet(src))
+    assert v.warnings == [] and res.report.warnings == ()
+    by = {c.name: c.n_failed for c in res.report.checks}
+    assert by["id__unique"] == 2
