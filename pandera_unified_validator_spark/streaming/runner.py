@@ -24,9 +24,10 @@ import os
 import time
 import uuid
 from dataclasses import dataclass, field
-from typing import Callable, Sequence
+from typing import Any, Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.validator import SparkValidator
 from ..utils.reporting import ValidationMetrics, ValidationReport
@@ -159,6 +160,59 @@ class PartitionedValidationRunner:
         return spark.read.schema(sch).json(pattern)
 
     # --------------------------------------------------------------- run --
+    def _run_units(
+        self,
+        units: Sequence[tuple[tuple[str, ...], Callable[[], DataFrame]]],
+    ) -> StreamingResult:
+        """Shared group loop: each unit = (lineage marker, lazy loader).
+        Finished markers resume from checkpoint; the breaker stops scheduling
+        further units once the error rate trips (reference
+        core/streaming.py:424-426)."""
+        metrics = ValidationMetrics()
+        out = StreamingResult(metrics=metrics)
+        t_start = time.time()
+        report: ValidationReport | None = None
+        for gi, (markers, loader) in enumerate(units):
+            cached = self._load_lineage(gi, markers)
+            if cached is not None:
+                metrics.update(
+                    cached.n_rows - cached.n_invalid_rows,
+                    cached.n_invalid_rows,
+                    cached.check_fails,
+                )
+                out.groups.append(cached)
+            else:
+                t0 = time.time()
+                res = self.validator.validate(loader())
+                gr = GroupResult(
+                    group_id=gi,
+                    files=tuple(markers),
+                    n_rows=res.report.n_rows,
+                    n_invalid_rows=res.report.n_invalid_rows,
+                    check_fails={
+                        c.name: c.n_failed for c in res.report.checks if c.n_failed
+                    },
+                    elapsed_sec=round(time.time() - t0, 3),
+                )
+                self._write_lineage(gr)
+                metrics.update(
+                    gr.n_rows - gr.n_invalid_rows, gr.n_invalid_rows, gr.check_fails
+                )
+                out.groups.append(gr)
+                report = res.report if report is None else report.merge(res.report)
+            if self.progress_callback:
+                self.progress_callback(gi + 1, len(units), metrics)
+            if (
+                self.error_threshold is not None
+                and metrics.total_rows > 0
+                and metrics.error_rate > self.error_threshold
+            ):
+                metrics.early_terminated = True
+                break
+        metrics.elapsed_sec = round(time.time() - t_start, 3)
+        out.report = report
+        return out
+
     def run(
         self,
         spark: SparkSession,
@@ -175,53 +229,57 @@ class PartitionedValidationRunner:
             files[i : i + self.files_per_group]
             for i in range(0, len(files), self.files_per_group)
         ]
-        metrics = ValidationMetrics()
-        out = StreamingResult(metrics=metrics)
-        t_start = time.time()
-        report: ValidationReport | None = None
-        for gi, group_files in enumerate(groups):
-            cached = self._load_lineage(gi, group_files)
-            if cached is not None:
-                metrics.update(
-                    cached.n_rows - cached.n_invalid_rows,
-                    cached.n_invalid_rows,
-                    cached.check_fails,
-                )
-                out.groups.append(cached)
-            else:
-                t0 = time.time()
-                df = spark.read.format(fmt).options(**reader_options).load(group_files)
-                res = self.validator.validate(df)
-                gr = GroupResult(
-                    group_id=gi,
-                    files=tuple(group_files),
-                    n_rows=res.report.n_rows,
-                    n_invalid_rows=res.report.n_invalid_rows,
-                    check_fails={
-                        c.name: c.n_failed for c in res.report.checks if c.n_failed
-                    },
-                    elapsed_sec=round(time.time() - t0, 3),
-                )
-                self._write_lineage(gr)
-                metrics.update(
-                    gr.n_rows - gr.n_invalid_rows, gr.n_invalid_rows, gr.check_fails
-                )
-                out.groups.append(gr)
-                report = res.report if report is None else report.merge(res.report)
-            if self.progress_callback:
-                self.progress_callback(gi + 1, len(groups), metrics)
-            # early termination (reference core/streaming.py:424-426): stop
-            # scheduling further groups once the error rate trips the breaker
-            if (
-                self.error_threshold is not None
-                and metrics.total_rows > 0
-                and metrics.error_rate > self.error_threshold
-            ):
-                metrics.early_terminated = True
-                break
-        metrics.elapsed_sec = round(time.time() - t_start, 3)
-        out.report = report
-        return out
+        units = [
+            (
+                tuple(g),
+                lambda g=g: spark.read.format(fmt).options(**reader_options).load(g),
+            )
+            for g in groups
+        ]
+        return self._run_units(units)
+
+    def run_iceberg(
+        self,
+        spark: SparkSession,
+        table: str,
+        *,
+        partition_col: str,
+        snapshot_id: int | None = None,
+        partitions: Sequence[Any] | None = None,
+        read_fn: Callable[..., DataFrame] | None = None,
+    ) -> StreamingResult:
+        """Partition-group validation over an Iceberg table PINNED at a
+        snapshot — the north rule's resumable loop against a moving table.
+
+        A *group* is one partition value of ``partition_col``; its lineage
+        marker is ``iceberg://{table}@{snapshot}#{col}={value}``, so resume
+        skips partitions already validated **at the same snapshot** and a
+        different ``snapshot_id`` (data appended since) re-validates — the
+        snapshot pin is what makes resume exactly-once while the table moves
+        (sources/iceberg.py module docstring). ``partitions`` defaults to the
+        distinct values at the pinned snapshot (one column-pruned job; pass
+        the ``.partitions`` metadata table's values to skip it — on a real
+        catalog that list comes from metadata, not a scan). Each group's
+        filter is partition-pruned by Iceberg at scan time, so a group job
+        reads only its partition's files. ``read_fn`` defaults to
+        ``sources.iceberg.read_iceberg`` and is injectable for catalogs the
+        test environment lacks."""
+        if read_fn is None:
+            from ..sources.iceberg import read_iceberg as read_fn  # type: ignore[no-redef]
+        df = read_fn(spark, table, snapshot_id=snapshot_id)
+        if partitions is None:
+            partitions = [
+                r[0]
+                for r in df.select(partition_col).distinct().orderBy(partition_col).collect()
+            ]
+        units = [
+            (
+                (f"iceberg://{table}@{snapshot_id}#{partition_col}={pv}",),
+                lambda pv=pv: df.filter(F.col(partition_col) == F.lit(pv)),
+            )
+            for pv in partitions
+        ]
+        return self._run_units(units)
 
     def run_dataframe_groups(
         self, spark: SparkSession, dfs: Sequence[DataFrame]

@@ -185,13 +185,41 @@ class ValidationReport:
         return out
 
     def to_html(self, filepath: str | None = None, title: str = "Validation report") -> str:
-        """K2 (reference utils/reporting.py:172-220) — dependency-free HTML."""
+        """K2 (reference utils/reporting.py:172-220) — dependency-free HTML.
+        The errors-by-column bar chart the reference renders via its chart.js
+        template (reference utils/reporting.py:416-704) is inlined here as
+        plain SVG (no script, no external assets — safe to open offline or
+        attach to a ticket)."""
         rows = "\n".join(
             f"<tr class={'fail' if c.n_failed else 'ok'}><td>{c.name}</td>"
             f"<td>{c.column}</td><td>{c.check}</td><td>{c.n_failed:,}</td>"
             f"<td>{c.n_checked:,}</td></tr>"
             for c in self.checks
         )
+        chart = ""
+        by_col = sorted(
+            self.errors_by_column().items(), key=lambda kv: (-kv[1], kv[0])
+        )[:10]
+        if by_col:
+            vmax = max(n for _, n in by_col)
+            bar_h, gap, label_w, bar_w = 18, 6, 180, 360
+            bars = []
+            for i, (col, n) in enumerate(by_col):
+                y = i * (bar_h + gap)
+                w = max(round(bar_w * n / vmax), 1)
+                bars.append(
+                    f'<text x="{label_w - 6}" y="{y + bar_h - 5}" text-anchor="end" '
+                    f'font-size="12" font-family="sans-serif">{col}</text>'
+                    f'<rect x="{label_w}" y="{y}" width="{w}" height="{bar_h}" fill="#c22"/>'
+                    f'<text x="{label_w + w + 6}" y="{y + bar_h - 5}" font-size="12" '
+                    f'font-family="sans-serif">{n:,}</text>'
+                )
+            svg_h = len(by_col) * (bar_h + gap)
+            chart = (
+                "<h2>Errors by column</h2>"
+                f'<svg width="{label_w + bar_w + 80}" height="{svg_h}" '
+                f'role="img" aria-label="errors by column">{"".join(bars)}</svg>'
+            )
         html = f"""<!doctype html><html><head><meta charset="utf-8"><title>{title}</title>
 <style>body{{font-family:sans-serif;margin:2em}}table{{border-collapse:collapse}}
 td,th{{border:1px solid #ccc;padding:4px 10px}}tr.fail{{background:#fdd}}
@@ -199,6 +227,7 @@ td,th{{border:1px solid #ccc;padding:4px 10px}}tr.fail{{background:#fdd}}
 </head><body><h1>{title}</h1>
 <p class="badge">{'PASSED' if self.is_valid else 'FAILED'}</p>
 <p>rows: {self.n_rows:,} &middot; invalid rows: {self.n_invalid_rows:,}</p>
+{chart}
 <table><tr><th>check</th><th>column</th><th>kind</th><th>failed</th><th>checked</th></tr>
 {rows}</table>
 <pre>{json.dumps({'errors': list(self.errors), 'warnings': list(self.warnings),

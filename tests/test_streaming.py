@@ -237,3 +237,55 @@ def test_streaming_unique_skip_is_loud(spark, tmp_path, caplog):
     assert v.warnings == [] and res.report.warnings == ()
     by = {c.name: c.n_failed for c in res.report.checks}
     assert by["id__unique"] == 2
+
+
+def test_iceberg_snapshot_pinned_resume(spark, tmp_path, monkeypatch):
+    """run_iceberg on a SIMULATED catalog (monkeypatched read_iceberg):
+    lineage markers carry (table, snapshot, partition), so re-running at the
+    same snapshot resumes every partition from checkpoint, while a LATER
+    snapshot (rows appended since) invalidates the markers and re-validates
+    — exactly-once against a moving table."""
+    import pandera_unified_validator_spark.sources.iceberg as ice
+
+    store = str(tmp_path / "iceberg_sim")
+    # snapshot 1: 3 partitions x 4 rows; snapshot 2 appends 2 bad rows to p0
+    snap1 = [(i, f"p{i % 3}", float(i), 1) for i in range(12)]
+    snap2 = [(100, "p0", -1.0, 2), (101, "p0", -2.0, 2)]
+    spark.createDataFrame(
+        snap1 + snap2, "id int, part string, value double, seq int"
+    ).write.parquet(store)
+
+    def fake_read_iceberg(spark_, table, *, snapshot_id=None, as_of_timestamp=None):
+        assert table == "lake.db.tokens"
+        df = spark_.read.parquet(store)
+        return df.filter(F.col("seq") <= snapshot_id).drop("seq")
+
+    monkeypatch.setattr(ice, "read_iceberg", fake_read_iceberg)
+
+    schema = (
+        SchemaBuilder("t").column("id", "int").column("value", "float", ge=0.0).build()
+    )
+    ckpt = str(tmp_path / "ice_ckpt")
+    runner = PartitionedValidationRunner(
+        SparkValidator(schema), checkpoint_dir=ckpt, error_threshold=None
+    )
+    r1 = runner.run_iceberg(
+        spark, "lake.db.tokens", partition_col="part", snapshot_id=1
+    )
+    assert r1.metrics.total_rows == 12 and r1.metrics.invalid_rows == 0
+    assert [g.resumed for g in r1.groups] == [False, False, False]
+    assert all("@1#" in g.files[0] for g in r1.groups)
+
+    # same snapshot again: every partition resumes from the lineage log
+    r2 = runner.run_iceberg(
+        spark, "lake.db.tokens", partition_col="part", snapshot_id=1
+    )
+    assert [g.resumed for g in r2.groups] == [True, True, True]
+    assert r2.metrics.total_rows == 12
+
+    # later snapshot: markers differ -> re-validate, appended bad rows caught
+    r3 = runner.run_iceberg(
+        spark, "lake.db.tokens", partition_col="part", snapshot_id=2
+    )
+    assert [g.resumed for g in r3.groups] == [False, False, False]
+    assert r3.metrics.total_rows == 14 and r3.metrics.invalid_rows == 2

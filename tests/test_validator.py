@@ -184,6 +184,13 @@ def test_report_exports(spark, dirty):
     assert res.report.to_json().startswith("{")
     html = res.report.to_html()
     assert "FAILED" in html
+    # errors-by-column SVG bar chart (dependency-free analogue of the
+    # reference's chart.js template): one <rect> per failing column, widths
+    # proportional to counts, worst column's bar at full width
+    assert "<svg" in html and "Errors by column" in html
+    by_col = res.report.errors_by_column()
+    assert html.count("<rect") == min(len(by_col), 10)
+    assert 'width="360"' in html  # max bar spans the full chart width
     m = ValidationMetrics()
     m.update(10, 2, {"n_tok__ge": 2})
     prom = to_prometheus(m)
