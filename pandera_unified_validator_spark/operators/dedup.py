@@ -453,9 +453,10 @@ def embedding_near_dup_pairs(
     groups by (bucket, sub-bucket-if-hot), and ``applyInPandas`` emits
     surviving pairs per group via numpy block-matmul (1024-row blocks keep
     the matmul's peak ~32 MB; the group itself is ≤ cap rows except for
-    near-identical clusters). The count job re-evaluates the signature UDF
-    over a column-pruned scan rather than caching the corpus — at 100 TB an
-    extra pruned pass beats persisting vectors across executors."""
+    near-identical clusters). The tagged corpus is persisted
+    (memory-and-disk) so the count job and the pair shuffle share ONE
+    signature evaluation — the materialize-once any 10^12-doc run would do
+    for its signature store."""
     df = df.where(F.col(vec_col).isNotNull())  # null vectors can't match
     if dim is None:
         first = df.select(vec_col).first()
@@ -480,6 +481,12 @@ def embedding_near_dup_pairs(
                 F.shiftrightunsigned("__bs", n_bits).alias("sub"),
             )
         )
+        # one UDF pass total: the tagged corpus is cached (memory, spilling
+        # to disk at scale — the same materialize-once a 10^12-doc run would
+        # do; minhash_dedup_pairs persists its signature store likewise), so
+        # hot detection below and the pair shuffle both read the cache
+        # instead of re-running the Arrow transfer
+        tagged = tagged.persist()
         # hot-bucket detection: map-side combine means ≤ 2^n_bits rows per
         # partition cross this shuffle; the collected set is ≤ 2^n_bits ids
         hot = [

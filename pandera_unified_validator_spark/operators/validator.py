@@ -53,6 +53,18 @@ _ROW_OK = "__puv_row_ok"
 _LOG = logging.getLogger(__name__)
 
 
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's plan-estimated size of ``df``'s relation in bytes — file
+    sizes for file scans, cached bytes for InMemoryRelation. Free (no job);
+    None when the estimate is unavailable (e.g. Spark Connect) or is the
+    unknown-size sentinel (Long.MaxValue)."""
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # pragma: no cover - non-JVM backends
+        return None
+    return size if 0 <= size < (1 << 62) else None
+
+
 class ValidationFailedError(Exception):
     def __init__(self, report: ValidationReport):
         self.report = report
@@ -137,6 +149,7 @@ class SparkValidator:
         fail_fast: bool = False,
         unique_strategy: str = "auto",
         broadcast_dup_limit: int = 4_000_000,
+        stats_broadcast_bytes: int = 32 << 20,
     ) -> None:
         """``unique_strategy``:
 
@@ -149,21 +162,34 @@ class SparkValidator:
           few 10k at 10^12 rows), never lose a duplicate, and the exact pass
           removes them. Correct for mostly-clean data; with huge duplicate
           sets the candidate broadcast degrades — keep "direct" there.
-        * ``"auto"`` — the dup-key set is computed EAGERLY (persist +
-          count): the same column-pruned scan + map-side-combined groupBy
-          the join-back needs anyway runs as its own job, the (tiny, for
-          mostly-clean data) result is cached, and the EXACT dup-key count
-          picks the join-back shape — within ``broadcast_dup_limit`` →
-          broadcast (the fast clean-data plan, zero exchange on the big
-          side); otherwise → plain shuffled left join from the cache (AQE
-          may still broadcast at runtime). Heavily-duplicated 10^12-row
-          inputs can't OOM the driver, and total input scans equal the
-          ``"direct"`` plan's two (round 3 ran a third, separate
-          approx_count_distinct estimate scan before the main pass — it
-          cost +64% on ``check_unique`` and −23% token throughput,
-          BENCH_r02→r03). **Default** — callers who haven't read this far
-          get the OOM-safe plan; the chosen join shape is surfaced per
-          check in ``report.metadata["unique_join_plan"]``.
+        * ``"auto"`` — two tiers, both exact-safe:
+
+          1. *Catalyst-stats fast path*: when the input relation's
+             plan-estimated size is ≤ ``stats_broadcast_bytes`` (32 MB —
+             file bytes for parquet, cached bytes for persisted inputs; no
+             job, no scan), even a worst-case every-row-duplicated dup-key
+             set broadcasts comfortably, so the single-job ``"direct"``
+             broadcast plan runs as-is. This keeps small inputs (a
+             partition group, a micro-batch, test scale) at one job with
+             zero fixed overhead.
+          2. otherwise the dup-key set is computed EAGERLY (persist +
+             count): the same column-pruned scan + map-side-combined
+             groupBy the join-back needs anyway runs as its own job, the
+             (tiny, for mostly-clean data) result is cached, and the EXACT
+             dup-key count picks the join-back shape — within
+             ``broadcast_dup_limit`` → broadcast (zero exchange on the big
+             side); otherwise → plain shuffled left join from the cache
+             (AQE may still broadcast at runtime). Heavily-duplicated
+             10^12-row inputs can't OOM the driver, and total input scans
+             equal the ``"direct"`` plan's two; the one extra *job* is
+             fixed overhead that vanishes at scale (round 3 instead ran a
+             separate approx_count_distinct estimate scan before the main
+             pass — +64% on ``check_unique``, −23% token throughput,
+             BENCH_r02→r03).
+
+          **Default** — callers who haven't read this far get the OOM-safe
+          plan; the chosen join shape is surfaced per check in
+          ``report.metadata["unique_join_plan"]``.
         """
         if unique_strategy not in ("direct", "hash_prefilter", "auto"):
             raise ValueError(f"unknown unique_strategy {unique_strategy!r}")
@@ -176,6 +202,7 @@ class SparkValidator:
         self.fail_fast = fail_fast
         self.unique_strategy = unique_strategy
         self.broadcast_dup_limit = int(broadcast_dup_limit)
+        self.stats_broadcast_bytes = int(stats_broadcast_bytes)
         # filled per annotate() call: {check_name: "broadcast" | "shuffle"}
         self.unique_join_plan: dict[str, str] = {}
         # filled per annotate() call: human-readable contract caveats
@@ -232,21 +259,33 @@ class SparkValidator:
             use_broadcast = True
             dup_keys: DataFrame | None = None
             if strategy == "auto":
-                # Eager dup-key job: the column-pruned scan + map-side-
-                # combined groupBy the join-back needs anyway, cached, so the
-                # EXACT dup-key count picks the join shape with no extra
-                # input scan (round 3's separate approx_count_distinct
-                # estimate job was a third scan: +64% check_unique wall).
-                dup_keys = (
-                    nn.groupBy(col)
-                    .agg(F.count(F.lit(1)).alias("__dup_n"))
-                    .filter(F.col("__dup_n") > 1)
-                    .select(F.col(col).alias("__dup_key"))
-                    .persist()
-                )
-                self._persisted.append(dup_keys)
-                use_broadcast = dup_keys.count() <= self.broadcast_dup_limit
-                strategy = "direct"
+                # tier 1: Catalyst-stats fast path — plan-estimated relation
+                # bytes (file sizes / cached bytes; NO job) small enough
+                # that even an all-duplicates dup-key set broadcasts safely.
+                # Also bounded by broadcast_dup_limit (≥8 B per key) so a
+                # caller-tightened limit still forces the exact tier.
+                size = _plan_size_bytes(df)
+                if size is not None and size <= min(
+                    self.stats_broadcast_bytes, self.broadcast_dup_limit * 8
+                ):
+                    strategy = "direct"
+                else:
+                    # tier 2: eager dup-key job — the column-pruned scan +
+                    # map-side-combined groupBy the join-back needs anyway,
+                    # cached, so the EXACT dup-key count picks the join
+                    # shape with no extra input scan (round 3's separate
+                    # approx_count_distinct estimate job was a third scan:
+                    # +64% check_unique wall)
+                    dup_keys = (
+                        nn.groupBy(col)
+                        .agg(F.count(F.lit(1)).alias("__dup_n"))
+                        .filter(F.col("__dup_n") > 1)
+                        .select(F.col(col).alias("__dup_key"))
+                        .persist()
+                    )
+                    self._persisted.append(dup_keys)
+                    use_broadcast = dup_keys.count() <= self.broadcast_dup_limit
+                    strategy = "direct"
             self.unique_join_plan[g.name] = "broadcast" if use_broadcast else "shuffle"
             if strategy == "hash_prefilter":
                 # stage 1: duplicate HASHES — the shuffle carries 8 bytes/row

@@ -318,3 +318,30 @@ def test_console_sections_logging_and_reference_export(spark, dirty):
     configure_logging(level="INFO")  # idempotent: handlers replaced
     assert len(lg.handlers) == 1
     assert get_logger("x").name.endswith(".x")
+
+
+def test_unique_auto_stats_fast_path(spark, tmp_path):
+    """auto tier 1: a small file-backed input (plan stats under the byte
+    threshold) picks the single-job broadcast plan with NO eager dup-key
+    job (validator._persisted stays empty); forcing the threshold to 0
+    routes the same input through the eager exact-count tier — identical
+    verdicts either way."""
+    p = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(i % 8, float(i)) for i in range(100)], "k int, v double"
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    schema = SchemaBuilder("t").column("k", "int", unique=True).build()
+
+    fast = SparkValidator(schema)
+    r_fast = fast.validate(df)
+    assert fast._persisted == []                      # no eager job ran
+    assert r_fast.report.metadata["unique_join_plan"] == {"k__unique": "broadcast"}
+
+    slow = SparkValidator(schema, stats_broadcast_bytes=0)
+    r_slow = slow.validate(df)
+    assert len(slow._persisted) == 1                  # eager tier engaged
+    assert r_slow.report.metadata["unique_join_plan"] == {"k__unique": "broadcast"}
+    a = {c.name: c.n_failed for c in r_fast.report.checks}
+    b = {c.name: c.n_failed for c in r_slow.report.checks}
+    assert a == b == {"k__unique": 100}               # every key duplicated
