@@ -30,6 +30,7 @@ _LOG = logging.getLogger(__name__)
 __all__ = [
     "dedup_exact",
     "shingles",
+    "shingle_hashes",
     "minhash_signature",
     "lsh_candidate_pairs",
     "jaccard",
@@ -94,8 +95,11 @@ def dedup_exact(
 
 # ---------------------------------------------------------------- minhash --
 def shingles(text: Column | str, k: int = 5) -> Column:
-    """Word k-gram shingle array (lowercased); docs shorter than k words
-    yield a single whole-doc shingle."""
+    """Word k-gram shingle array as STRINGS (lowercased); docs shorter than
+    k words yield a single whole-doc shingle. This is the human-readable /
+    oracle-replayable form (DuckDB rebuilds the same strings); the dedup
+    pipelines use ``shingle_hashes`` — same gram identity, no per-gram
+    string allocation."""
     ws = words(text)
     n = F.size(ws)
     grams = F.transform(
@@ -103,6 +107,38 @@ def shingles(text: Column | str, k: int = 5) -> Column:
         lambda i: F.concat_ws(" ", F.slice(ws, i, k)),
     )
     return F.when(n > 0, grams).otherwise(F.array().cast("array<string>"))
+
+
+def _gram_hashes(whh: Column, k: int) -> Column:
+    """k-gram hashes from a word-hash array column: gram i =
+    ``xxhash64(whh[i], …, whh[i+k-1])``. ``try_element_at`` past the end is
+    NULL and xxhash64 SKIPS null children, so a doc shorter than k words
+    yields one whole-doc hash over its actual words — mirroring
+    ``shingles``'s single short-doc gram. Two grams collide iff their word
+    sequences are equal (up to a vanishing 2^-64 hash collision), so every
+    equality-based consumer (banding, set Jaccard) sees the same sets as
+    the string form."""
+    n = F.size(whh)
+    return F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+            lambda i: F.xxhash64(*[F.try_element_at(whh, i + F.lit(j)) for j in range(k)]),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
+def shingle_hashes(text: Column | str, k: int = 5) -> Column:
+    """Word k-gram shingle array as 8-byte HASHES — the corpus-scale gram
+    representation (round 4): each word is hashed once, each gram hash
+    combines k word hashes, so no gram STRING is ever materialized. The
+    round-3 ``shingles`` + ``xxhash64(gram)`` path built every gram string
+    with ``concat_ws(slice(words))`` — measured 3x slower at sf0.1 purely
+    on string allocation. Gram equality matches ``shingles`` exactly, so
+    oracles replaying string grams stay valid; only the internal hash
+    VALUES differ (scheme: ``xxhash64(xxhash64(w_i), …)`` instead of
+    ``xxhash64(concat)``)."""
+    return _gram_hashes(F.transform(words(text), lambda w: F.xxhash64(w)), k)
 
 
 def minhash_signature(text: Column | str, num_hashes: int = 64, shingle_k: int = 5) -> Column:
@@ -117,14 +153,12 @@ def minhash_signature(text: Column | str, num_hashes: int = 64, shingle_k: int =
     per-row use, but the corpus-scale path is ``minhash_signatures_df``
     (explode → codegen'd hash columns → map-side-combined groupBy-min),
     measured ~7x faster."""
-    sh = shingles(text, shingle_k)
-    # hash each shingle string once; seeded variants hash the 8-byte long
-    shh = F.transform(sh, lambda s: F.xxhash64(s))
+    shh = shingle_hashes(text, shingle_k)
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda seed: F.array_min(F.transform(shh, lambda h: F.xxhash64(seed, h))),
     )
-    return F.when(F.size(sh) > 0, sig)
+    return F.when(F.size(shh) > 0, sig)
 
 
 def minhash_signatures_df(
@@ -143,14 +177,24 @@ def minhash_signatures_df(
     Returns (id, __sig array); with ``include_shingle_hashes`` also ``__shh``
     (the doc's distinct shingle-hash set, collected in the SAME pass) so
     downstream exact-Jaccard verification needs no second shingle build.
-    Docs with no shingles drop out (no signature to compare)."""
+    Docs with no shingles drop out (no signature to compare).
+
+    Gram hashes come from ``shingle_hashes`` (word hashed once, gram hash
+    combines k word hashes — round 4): no gram string is ever built, which
+    removed the concat_ws/slice allocation wall the round-3 shape paid
+    (measured 3x at sf0.1). The word-hash array is a materialized projection
+    so it is evaluated once per row, not once per gram."""
     # no array_distinct before the explode: min() over a multiset equals min
     # over the set, and collect_set dedupes — the distinct pass would only
     # add an interpreted array scan
-    ex = df.select(
+    wh = df.select(
         F.col(id_col),
-        F.explode(shingles(text_col, shingle_k)).alias("__s"),
-    ).select(F.col(id_col), F.xxhash64("__s").alias("__h0"))
+        F.transform(words(text_col), lambda w: F.xxhash64(w)).alias("__whh"),
+    )
+    ex = wh.select(
+        F.col(id_col),
+        F.explode(_gram_hashes(F.col("__whh"), shingle_k)).alias("__h0"),
+    )
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("__h0"))).alias(f"__h{i}")
         for i in range(num_hashes)
@@ -354,7 +398,10 @@ def ngram_jaccard_pairs(
     via one map-side-combined groupBy, |A∩B| via two codegen hash joins
     keyed by (pair, gram) — no gram ARRAY ever crosses a shuffle (the
     round-2 shape shipped each doc's full distinct-gram array through both
-    joins and intersected with an interpreted HOF per pair). Semantics are
+    joins and intersected with an interpreted HOF per pair). Round 4: grams
+    are 8-byte ``shingle_hashes``, not strings — gram equality (the only
+    property the joins and set sizes use) is preserved, gram build skips
+    string allocation, and the join keys are fixed-width. Semantics are
     unchanged: pairs whose ids are absent from ``df`` drop (inner join on
     existence), a doc with no grams has set size 0, Jaccard is NULL when
     both sides are empty, and duplicate candidate rows yield duplicate
@@ -362,7 +409,10 @@ def ngram_jaccard_pairs(
     ids = df.select(F.col(id_col))
     grams = df.select(
         F.col(id_col).alias("__id"),
-        F.explode(F.array_distinct(shingles(text_col, n))).alias("__g"),
+        F.transform(words(text_col), lambda w: F.xxhash64(w)).alias("__whh"),
+    ).select(
+        F.col("__id"),
+        F.explode(F.array_distinct(_gram_hashes(F.col("__whh"), n))).alias("__g"),
     )
     sizes = grams.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
     cp = (

@@ -375,3 +375,39 @@ def test_embedding_near_dup_hot_bucket_splits_in_shuffle_key(spark):
         ).collect()
     }
     assert got == exhaustive
+
+
+def test_shingle_hashes_match_string_gram_identity(spark):
+    """shingle_hashes must preserve gram IDENTITY exactly as the string form
+    (the property every equality consumer — banding, set Jaccard — relies
+    on): per-doc distinct counts equal, and two docs' gram sets intersect
+    identically under both representations, including the short-doc
+    whole-document gram."""
+    from pandera_unified_validator_spark.operators.dedup import shingle_hashes
+
+    docs = spark.createDataFrame(
+        [
+            (1, BASE),
+            (2, NEAR),
+            (3, BASE),            # identical to 1
+            (4, "tiny doc"),      # short doc: single whole-doc gram
+            (5, "tiny doc"),      # identical short doc
+            (6, "tiny dog"),      # different short doc
+            (7, "   "),           # no words: empty gram set
+        ],
+        "doc_id int, text string",
+    )
+    rows = docs.select(
+        "doc_id",
+        F.array_distinct(shingles("text", 5)).alias("s"),
+        F.array_distinct(shingle_hashes("text", 5)).alias("h"),
+    ).collect()
+    s = {r["doc_id"]: set(r["s"]) for r in rows}
+    h = {r["doc_id"]: set(r["h"]) for r in rows}
+    for i in s:
+        assert len(s[i]) == len(h[i]), i  # same distinct-gram cardinality
+    for a in s:
+        for b in s:
+            assert len(s[a] & s[b]) == len(h[a] & h[b]), (a, b)
+    assert s[7] == set() and h[7] == set()
+    assert h[4] == h[5] != h[6]
