@@ -248,7 +248,9 @@ class SparkValidator:
                     f"unique check {g.name!r} skipped: uniqueness is "
                     "undefined on an unbounded stream; validate bounded "
                     "micro-batches via foreachBatch "
-                    "(streaming.StreamingValidationSink) instead"
+                    "(streaming.StreamingValidationSink), or use "
+                    "streaming.cross_batch_unique_monitor for stateful "
+                    "probable-duplicate detection across batches"
                 )
                 _LOG.warning(msg)
                 self.warnings.append(msg)

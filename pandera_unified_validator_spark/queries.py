@@ -1193,6 +1193,53 @@ FROM w GROUP BY 1 ORDER BY 1
 """
 
 
+def q_stream_cross_batch_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful cross-batch uniqueness monitoring under the driver gate:
+    events replayed through REAL Structured Streaming → the Bloom-filter
+    ``cross_batch_unique_monitor`` on ``user_id`` (applyInPandasWithState;
+    state = one fixed-size filter per key shard) → memory sink, final
+    per-bucket totals folded to one summary row.
+
+    Deterministic and batch-split independent: an occurrence is flagged iff
+    the key appeared in ANY earlier batch or earlier in its own batch, so
+    total probable dups = rows − distinct keys however the files are split
+    into micro-batches. With 150 distinct keys in a 2^20-bit filter the
+    false-positive probability is ≈ (150·7/2^20)^7 ≈ 1e-21 — the Bloom
+    answer IS the exact answer at gate scale, which is what lets plain SQL
+    oracle an approximate streaming sketch."""
+    from .streaming.structured import cross_batch_unique_monitor
+
+    path = f"{sf_dir}/events.parquet"
+    sch = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(sch).parquet(f"{sf_dir}/events.*")
+    out = cross_batch_unique_monitor(
+        stream, "user_id", n_buckets=8, bloom_bits=1 << 20
+    )
+    name = "puv_stream_cross_batch_unique"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode: totals per bucket are monotone, so max = final
+    per_bucket = spark.table(name).groupBy("bucket").agg(
+        F.max("total_rows").alias("r"), F.max("total_probable_dups").alias("d")
+    )
+    return per_bucket.agg(
+        F.sum("r").alias("n_rows"), F.sum("d").alias("probable_dups")
+    )
+
+
+_SQL_STREAM_CROSS_BATCH_UNIQUE = """
+SELECT CAST(count(user_id) AS BIGINT) AS n_rows,
+       CAST(count(user_id) - count(DISTINCT user_id) AS BIGINT) AS probable_dups
+FROM events
+"""
+
+
 def q_apply_fixes_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1-F4 under the driver gate: validate l_quantity against [2, 49]
     (violations exist at both ends of the 1..50 data range), derive the
@@ -1319,6 +1366,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "stream_windowed_validation": (
         q_stream_windowed_validation,
         _SQL_STREAM_WINDOWED_VALIDATION,
+    ),
+    "stream_cross_batch_unique": (
+        q_stream_cross_batch_unique,
+        _SQL_STREAM_CROSS_BATCH_UNIQUE,
     ),
     "multimodal_fake_decode": (q_multimodal_fake_decode, _SQL_MULTIMODAL_FAKE_DECODE),
     "apply_fixes_lineitem": (q_apply_fixes_lineitem, _SQL_APPLY_FIXES_LINEITEM),

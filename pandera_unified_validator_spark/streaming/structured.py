@@ -22,6 +22,7 @@ __all__ = [
     "validate_stream",
     "windowed_error_rates",
     "stateful_error_monitor",
+    "cross_batch_unique_monitor",
 ]
 
 
@@ -163,6 +164,120 @@ def stateful_error_monitor(
         )
 
     return sel.groupBy("key").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def cross_batch_unique_monitor(
+    stream_df: DataFrame,
+    key_col: str,
+    *,
+    n_buckets: int = 16,
+    bloom_bits: int = 1 << 20,
+    n_probes: int = 7,
+) -> DataFrame:
+    """Cross-micro-batch PROBABLE-duplicate detection for a declared-unique
+    key on an unbounded stream — the actionable counterpart to the engine's
+    "unique skipped on stream" warning (exact uniqueness is undefined on an
+    unbounded stream; per-batch uniqueness runs in foreachBatch).
+
+    Custom stateful operator (``applyInPandasWithState``): keys are hashed
+    and sharded into ``n_buckets`` groups; each group's state is ONE
+    fixed-size Bloom filter (``bloom_bits`` bits, ``n_probes`` double-hashed
+    probes) that Spark checkpoints and restores with the query. Per batch
+    each key is tested against the filter BEFORE the batch inserts (plus a
+    within-batch repeat check), so the memory bound is
+    ``n_buckets * bloom_bits / 8`` bytes FOREVER, regardless of stream
+    length — the only way to honor 10^12-key streams without per-key state.
+    One-sided error, the safe side for a monitor: a key reported
+    ``probable_dups`` may be a false positive (rate ≈ fill^probes, reported
+    as ``fill_ratio``), but a key never seen is NEVER flagged, and a true
+    repeat is ALWAYS flagged. Defaults hold ~100k keys/bucket at <1% FP
+    (~1.6M keys total in 2 MB state); scale ``n_buckets`` (parallelism +
+    capacity) and ``bloom_bits`` (per-shard capacity) together for larger
+    key spaces.
+
+    Returns a streaming DataFrame (bucket, batch_rows, probable_dups,
+    total_rows, total_probable_dups, fill_ratio); attach with output mode
+    "update". Null keys are ignored (nullability is its own check).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if bloom_bits % 64:
+        raise ValueError("bloom_bits must be a multiple of 64")
+    sel = stream_df.where(F.col(key_col).isNotNull()).select(
+        F.xxhash64(F.col(key_col)).alias("__kh")
+    )
+    sel = sel.withColumn("__bucket", F.pmod(F.col("__kh"), F.lit(n_buckets)).cast("int"))
+    out_schema = (
+        "bucket int, batch_rows long, probable_dups long, total_rows long, "
+        "total_probable_dups long, fill_ratio double"
+    )
+    state_schema = "filter binary, total_rows long, total_probable_dups long"
+    m = bloom_bits
+    probes = n_probes
+
+    def fn(key, pdfs, state):
+        import numpy as np
+        import pandas as pd
+
+        if state.exists:
+            fbytes, total_rows, total_dups = state.get
+            filt = np.frombuffer(fbytes, dtype=np.uint8).copy()
+        else:
+            filt = np.zeros(m // 8, dtype=np.uint8)
+            total_rows, total_dups = 0, 0
+        batch_rows = 0
+        batch_dups = 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            kh = pdf["__kh"].to_numpy().astype(np.uint64)
+            batch_rows += len(kh)
+            # double hashing: position_p = (h1 + p*h2) mod m; h1/h2 from one
+            # 64-bit hash via a splitmix-style remix (all uint64 wraparound)
+            h1 = kh
+            h2 = kh.copy()
+            h2 ^= h2 >> np.uint64(33)
+            h2 *= np.uint64(0xFF51AFD7ED558CCD)
+            h2 ^= h2 >> np.uint64(33)
+            h2 |= np.uint64(1)  # odd stride: full cycle over m (power of 2)
+            # membership BEFORE this batch inserts
+            seen = np.ones(len(kh), dtype=bool)
+            pos_list = []
+            for p in range(probes):
+                pos = (h1 + np.uint64(p) * h2) % np.uint64(m)
+                pos_list.append(pos)
+                seen &= (filt[(pos >> np.uint64(3)).astype(np.int64)]
+                         >> (pos & np.uint64(7)).astype(np.uint8)) & 1 > 0
+            # within-batch repeats: occurrences after a key's first are dups
+            _, first_idx = np.unique(kh, return_index=True)
+            repeat = np.ones(len(kh), dtype=bool)
+            repeat[first_idx] = False
+            dup = seen | repeat
+            batch_dups += int(dup.sum())
+            for pos in pos_list:  # insert the whole batch
+                np.bitwise_or.at(
+                    filt,
+                    (pos >> np.uint64(3)).astype(np.int64),
+                    (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)),
+                )
+        total_rows += batch_rows
+        total_dups += batch_dups
+        fill = float(np.unpackbits(filt).mean()) if batch_rows else 0.0
+        state.update((filt.tobytes(), total_rows, total_dups))
+        yield pd.DataFrame(
+            {
+                "bucket": [key[0]],
+                "batch_rows": [batch_rows],
+                "probable_dups": [batch_dups],
+                "total_rows": [total_rows],
+                "total_probable_dups": [total_dups],
+                "fill_ratio": [round(fill, 6)],
+            }
+        )
+
+    return sel.groupBy("__bucket").applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
 

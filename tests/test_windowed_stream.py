@@ -110,3 +110,48 @@ def test_stateful_error_monitor(spark, tmp_path):
     assert final["b"]["total_rows"] == 20 and final["b"]["total_invalid"] == 15
     assert final["b"]["tripped"] is True
     assert final["b"]["error_rate"] == 0.75
+
+
+def test_cross_batch_unique_monitor(spark, tmp_path):
+    """Bloom-filter stateful uniqueness monitor: keys repeated in a LATER
+    micro-batch are flagged as probable dups (state survives across
+    batches), within-batch repeats are flagged too, and fresh keys are
+    never flagged (one-sided error)."""
+    from pandera_unified_validator_spark.streaming.structured import (
+        cross_batch_unique_monitor,
+    )
+
+    src = str(tmp_path / "uniqsrc")
+    spark.createDataFrame(
+        [(f"k{i}",) for i in range(10)], "k string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    import time as _t
+    _t.sleep(1.1)  # distinct mtimes -> deterministic batch order
+    spark.createDataFrame(
+        [(f"k{i}",) for i in range(5, 10)] + [("k100",), ("k100",)], "k string"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("k string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = cross_batch_unique_monitor(stream, "k", n_buckets=4, bloom_bits=1 << 16)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("uniq_out")
+        .option("checkpointLocation", str(tmp_path / "uq_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM uniq_out").collect()
+    final = {}
+    for r in rows:
+        if r["bucket"] not in final or r["total_rows"] > final[r["bucket"]]["total_rows"]:
+            final[r["bucket"]] = r
+    assert sum(r["total_rows"] for r in final.values()) == 17
+    # 5 cross-batch repeats (k5..k9) + 1 within-batch repeat (second k100)
+    assert sum(r["total_probable_dups"] for r in final.values()) == 6
+    assert all(0.0 <= r["fill_ratio"] < 0.01 for r in final.values())
