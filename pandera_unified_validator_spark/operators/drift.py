@@ -30,6 +30,7 @@ __all__ = [
     "ks_statistic_exact",
     "ks_from_histograms",
     "numeric_drift",
+    "token_bucket_counts",
     "token_frequency_drift",
 ]
 
@@ -325,6 +326,23 @@ def numeric_drift(
 
 
 # -------------------------------------------------- token-frequency drift ----
+def token_bucket_counts(
+    df: DataFrame, tokens_col: str = "tokens", num_buckets: int = 1024
+) -> DataFrame:
+    """Lazy per-bucket token-id counts — the distributed core of
+    ``token_frequency_drift``, exposed for composition and SQL-oracle
+    comparison (the ``numeric_summary`` pattern). Token ids fold into
+    ``num_buckets`` hash buckets BEFORE the shuffle, so map-side combine
+    sees ≤ num_buckets keys per partition and the shuffle moves ≤
+    partitions × buckets rows regardless of corpus size. Returns
+    (bucket, n); empty/NULL token arrays contribute nothing."""
+    return (
+        df.select(F.explode(tokens_col).alias("tok"))
+        .groupBy(F.pmod(F.col("tok"), F.lit(num_buckets)).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def token_frequency_drift(
     baseline: DataFrame,
     current: DataFrame,
@@ -346,12 +364,7 @@ def token_frequency_drift(
     def bucket_counts(df: DataFrame) -> list[int]:
         if sample_fraction:
             df = df.sample(fraction=sample_fraction, seed=42)
-        rows = (
-            df.select(F.explode(tokens_col).alias("tok"))
-            .groupBy(F.pmod(F.col("tok"), F.lit(num_buckets)).alias("bucket"))
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
+        rows = token_bucket_counts(df, tokens_col, num_buckets).collect()
         counts = [0] * num_buckets
         for r in rows:
             if r["bucket"] is not None:

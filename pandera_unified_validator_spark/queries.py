@@ -1193,6 +1193,61 @@ FROM w GROUP BY 1 ORDER BY 1
 """
 
 
+def q_token_bucket_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-frequency drift's distributed core under the driver gate:
+    deterministic 3-token sequences derived from documents (pure integer
+    arithmetic, so DuckDB rebuilds them bit-identically), split into a
+    baseline (even doc_id) and current (odd doc_id) corpus, and folded into
+    64 hash buckets by ``token_bucket_counts`` — ids bucket BEFORE the
+    shuffle, the scale property that keeps the exchange ≤ partitions ×
+    buckets rows at any corpus size. Returns the joined per-bucket counts
+    the driver-side PSI consumes (PSI arithmetic itself is oracled by
+    psi_documents_nchars)."""
+    from .operators.drift import token_bucket_counts
+
+    d = _t(spark, sf_dir, "documents")
+    v = 50257
+    toks = d.select(
+        F.col("doc_id"),
+        F.array(
+            F.pmod(F.col("n_chars") * 2654435761 + F.col("doc_id"), F.lit(v)),
+            F.pmod(F.col("doc_id") * 97 + 13, F.lit(v)),
+            F.pmod(F.col("n_chars") + F.col("doc_id") * 31, F.lit(v)),
+        ).cast("array<int>").alias("tokens"),
+    )
+    base = token_bucket_counts(toks.filter(F.pmod("doc_id", F.lit(2)) == 0), "tokens", 64)
+    cur = token_bucket_counts(toks.filter(F.pmod("doc_id", F.lit(2)) == 1), "tokens", 64)
+    return (
+        base.withColumnRenamed("n", "n_base")
+        .join(cur.withColumnRenamed("n", "n_cur"), "bucket", "full")
+        .select(
+            "bucket",
+            F.coalesce("n_base", F.lit(0)).alias("n_base"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_SQL_TOKEN_BUCKET_DRIFT = """
+WITH t AS (
+  SELECT doc_id,
+         [(n_chars * 2654435761 + doc_id) % 50257,
+          (doc_id * 97 + 13) % 50257,
+          (n_chars + doc_id * 31) % 50257] AS tokens
+  FROM documents
+),
+e AS (SELECT unnest(tokens) % 64 AS bucket, doc_id FROM t),
+b AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_base FROM e WHERE doc_id % 2 = 0 GROUP BY 1),
+c AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_cur FROM e WHERE doc_id % 2 = 1 GROUP BY 1)
+SELECT CAST(coalesce(b.bucket, c.bucket) AS BIGINT) AS bucket,
+       coalesce(n_base, 0) AS n_base,
+       coalesce(n_cur, 0) AS n_cur
+FROM b FULL OUTER JOIN c ON b.bucket = c.bucket
+ORDER BY 1
+"""
+
+
 def q_stream_cross_batch_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful cross-batch uniqueness monitoring under the driver gate:
     events replayed through REAL Structured Streaming → the Bloom-filter
@@ -1371,6 +1426,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         q_stream_cross_batch_unique,
         _SQL_STREAM_CROSS_BATCH_UNIQUE,
     ),
+    "token_bucket_drift": (q_token_bucket_drift, _SQL_TOKEN_BUCKET_DRIFT),
     "multimodal_fake_decode": (q_multimodal_fake_decode, _SQL_MULTIMODAL_FAKE_DECODE),
     "apply_fixes_lineitem": (q_apply_fixes_lineitem, _SQL_APPLY_FIXES_LINEITEM),
 }
