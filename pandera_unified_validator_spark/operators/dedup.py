@@ -22,7 +22,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text import words
+from .text import _gram_hashes, shingle_hashes, words
 from ..functions.vectors import hyperplane_signature2_udf, hyperplane_signature_udf
 
 _LOG = logging.getLogger(__name__)
@@ -39,6 +39,7 @@ __all__ = [
     "simhash_near_dup_pairs",
     "ngram_jaccard_pairs",
     "embedding_near_dup_pairs",
+    "contamination_flags",
 ]
 
 
@@ -109,36 +110,8 @@ def shingles(text: Column | str, k: int = 5) -> Column:
     return F.when(n > 0, grams).otherwise(F.array().cast("array<string>"))
 
 
-def _gram_hashes(whh: Column, k: int) -> Column:
-    """k-gram hashes from a word-hash array column: gram i =
-    ``xxhash64(whh[i], …, whh[i+k-1])``. ``try_element_at`` past the end is
-    NULL and xxhash64 SKIPS null children, so a doc shorter than k words
-    yields one whole-doc hash over its actual words — mirroring
-    ``shingles``'s single short-doc gram. Two grams collide iff their word
-    sequences are equal (up to a vanishing 2^-64 hash collision), so every
-    equality-based consumer (banding, set Jaccard) sees the same sets as
-    the string form."""
-    n = F.size(whh)
-    return F.when(
-        n > 0,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
-            lambda i: F.xxhash64(*[F.try_element_at(whh, i + F.lit(j)) for j in range(k)]),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-
-
-def shingle_hashes(text: Column | str, k: int = 5) -> Column:
-    """Word k-gram shingle array as 8-byte HASHES — the corpus-scale gram
-    representation (round 4): each word is hashed once, each gram hash
-    combines k word hashes, so no gram STRING is ever materialized. The
-    round-3 ``shingles`` + ``xxhash64(gram)`` path built every gram string
-    with ``concat_ws(slice(words))`` — measured 3x slower at sf0.1 purely
-    on string allocation. Gram equality matches ``shingles`` exactly, so
-    oracles replaying string grams stay valid; only the internal hash
-    VALUES differ (scheme: ``xxhash64(xxhash64(w_i), …)`` instead of
-    ``xxhash64(concat)``)."""
-    return _gram_hashes(F.transform(words(text), lambda w: F.xxhash64(w)), k)
+# shingle_hashes / _gram_hashes live in operators.text (gram machinery is
+# shared with repetition scoring there); re-exported here for API stability
 
 
 def minhash_signature(text: Column | str, num_hashes: int = 64, shingle_k: int = 5) -> Column:
@@ -614,4 +587,51 @@ def embedding_near_dup_pairs(
         .applyInPandas(emit, out_schema)
         .select("id_a", "id_b", F.round("cosine_sim", 4).alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+# -------------------------------------------------- decontamination --------
+def contamination_flags(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    bench_text_col: str | None = None,
+    n: int = 8,
+    min_overlap: int = 1,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing ≥
+    ``min_overlap`` distinct word ``n``-grams with ANY benchmark document —
+    the standard eval-set leakage gate of an LLM training pipeline (GPT-3
+    used 13-gram overlap; ``n=8`` is a common stricter default).
+
+    Scale shape: the benchmark's distinct gram-hash set (eval suites are
+    thousands of docs → a few million 8-byte hashes) **broadcasts**; the
+    corpus side is one explode → hash-join → per-doc count, so the corpus
+    is scanned once and never shuffled on text — only (doc_id, count) pairs
+    reach the aggregation, and grams are ``shingle_hashes`` longs (no gram
+    strings anywhere). Set ``broadcast_benchmark=False`` for an oversized
+    benchmark (the join falls back to shuffle; AQE may still broadcast).
+
+    Returns (id, overlap_grams) for flagged docs only — at 10^12 docs the
+    clean majority must not be materialized. ``overlap_grams`` counts the
+    doc's DISTINCT grams that appear anywhere in the benchmark."""
+    bench_text = bench_text_col or text_col
+    bench_grams = (
+        benchmark.select(F.explode(shingle_hashes(bench_text, n)).alias("__g"))
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
+    doc_grams = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingle_hashes(text_col, n))).alias("__g"),
+    )
+    return (
+        doc_grams.join(bench_grams, "__g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("overlap_grams"))
+        .filter(F.col("overlap_grams") >= min_overlap)
     )

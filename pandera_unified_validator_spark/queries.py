@@ -1193,6 +1193,98 @@ FROM w GROUP BY 1 ORDER BY 1
 """
 
 
+def q_repetition_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition filters under the driver gate:
+    ``repetition_scores`` (1 − distinct/total word 3-grams, duplicate-line
+    fraction — pure per-row expressions, no shuffle) aggregated per source.
+    Oracle: DuckDB rebuilds the same gram strings and line lists and must
+    agree doc-by-doc before the per-source averages can match."""
+    from .operators.text import repetition_scores
+
+    d = _t(spark, sf_dir, "documents")
+    rep = repetition_scores(d, "doc_id", "text", n=3)
+    return (
+        rep.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.round(F.avg("repetition_ratio"), 4).alias("avg_repetition"),
+            F.round(F.max("repetition_ratio"), 4).alias("max_repetition"),
+            F.round(F.avg("dup_line_frac"), 4).alias("avg_dup_line_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_REPETITION_BY_SOURCE = r"""
+WITH w AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws,
+         list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                     l -> l <> '') AS lines
+  FROM documents
+),
+g AS (
+  SELECT doc_id, array_to_string(list_slice(ws, i, i + 2), ' ') AS s
+  FROM w, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS t(i)
+  WHERE len(ws) > 0
+),
+per_doc AS (
+  SELECT w.doc_id, w.source,
+         round(CASE WHEN count(g.s) > 0
+                    THEN 1.0 - count(DISTINCT g.s) * 1.0 / count(g.s)
+                    ELSE 0.0 END, 4) AS rep,
+         round(CASE WHEN len(w.lines) > 0
+                    THEN 1.0 - len(list_distinct(w.lines)) * 1.0 / len(w.lines)
+                    ELSE 0.0 END, 4) AS dlf
+  FROM w LEFT JOIN g ON w.doc_id = g.doc_id
+  GROUP BY w.doc_id, w.source, w.lines
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS docs,
+       round(avg(rep), 4) AS avg_repetition,
+       round(max(rep), 4) AS max_repetition,
+       round(avg(dlf), 4) AS avg_dup_line_frac
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
+def q_contamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination under the driver gate: every 97th document
+    plays the held-out eval set; ``contamination_flags`` must flag exactly
+    the corpus docs sharing ≥ 1 distinct word 8-gram with it (the benchmark
+    members themselves plus any near-copies). The benchmark gram set
+    broadcasts; the corpus explodes once. Oracle: string-gram inverted
+    index in DuckDB."""
+    from .operators.dedup import contamination_flags
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    return contamination_flags(
+        d, bench, "doc_id", "text", n=8, min_overlap=1
+    ).orderBy("doc_id")
+
+
+_SQL_CONTAMINATION_FLAGS = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+g AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(ws, i, i + 7), ' ') AS s
+  FROM w, unnest(generate_series(1, greatest(len(ws) - 7, 1))) AS t(i)
+  WHERE len(ws) > 0
+),
+bench AS (SELECT DISTINCT s FROM g WHERE doc_id % 97 = 0)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS overlap_grams
+FROM g JOIN bench ON g.s = bench.s
+GROUP BY g.doc_id
+HAVING count(*) >= 1
+ORDER BY g.doc_id
+"""
+
+
 def q_token_bucket_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-frequency drift's distributed core under the driver gate:
     deterministic 3-token sequences derived from documents (pure integer
@@ -1427,6 +1519,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         _SQL_STREAM_CROSS_BATCH_UNIQUE,
     ),
     "token_bucket_drift": (q_token_bucket_drift, _SQL_TOKEN_BUCKET_DRIFT),
+    "repetition_by_source": (q_repetition_by_source, _SQL_REPETITION_BY_SOURCE),
+    "contamination_flags": (q_contamination_flags, _SQL_CONTAMINATION_FLAGS),
     "multimodal_fake_decode": (q_multimodal_fake_decode, _SQL_MULTIMODAL_FAKE_DECODE),
     "apply_fixes_lineitem": (q_apply_fixes_lineitem, _SQL_APPLY_FIXES_LINEITEM),
 }

@@ -91,3 +91,47 @@ def test_words_null_and_empty(spark):
     df = spark.createDataFrame([(None,), ("",), ("  ",)], "t string")
     rows = df.select(F.size(words("t")).alias("n")).collect()
     assert [r["n"] for r in rows] == [None, 0, 0]
+
+
+def test_repetition_scores(spark):
+    from pandera_unified_validator_spark.operators.text import repetition_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),               # all distinct 3-grams
+            (2, "spam spam spam spam spam spam"), # one distinct 3-gram
+            (3, "x\ny\nx\n\n  \nz"),              # 4 non-empty lines, 1 dup
+            (4, "   "),                           # no words, no lines
+        ],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_scores(docs, n=3).collect()}
+    assert got[1]["n_grams"] == 6 and got[1]["repetition_ratio"] == 0.0
+    assert got[2]["n_grams"] == 4 and got[2]["n_distinct_grams"] == 1
+    assert got[2]["repetition_ratio"] == 0.75
+    assert got[3]["dup_line_frac"] == 0.25
+    assert got[4]["repetition_ratio"] == 0.0 and got[4]["dup_line_frac"] == 0.0
+
+
+def test_contamination_flags(spark):
+    from pandera_unified_validator_spark.operators.dedup import contamination_flags
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        "qid int, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight again"),  # overlaps
+            (2, "completely unrelated text about spark and data pipelines ok"),
+            (3, "short doc"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r["overlap_grams"] for r in
+           contamination_flags(corpus, bench, n=8, min_overlap=1,
+                               bench_text_col="text").collect()}
+    # doc 1 shares the benchmark's 8-grams; docs 2/3 share none -> absent
+    assert set(got) == {1} and got[1] >= 1
+    # higher threshold drops it
+    assert contamination_flags(corpus, bench, n=8, min_overlap=100).count() == 0
