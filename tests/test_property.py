@@ -173,3 +173,41 @@ def test_ngram_jaccard_matches_python_sets(spark, ta, tb):
         assert rows[0]["jaccard_sim"] is None
     else:
         assert rows[0]["jaccard_sim"] == round(len(ga & gb) / union, 4)
+
+
+@SET
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from(list("ab c\nX.")), min_size=0, max_size=40
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    k=st.integers(min_value=1, max_value=6),
+)
+def test_shingle_hashes_gram_identity_property(spark, texts, k):
+    """For arbitrary texts and gram sizes, the hash-combined gram
+    representation must induce EXACTLY the same equality structure as the
+    string form: same per-doc distinct counts, and identical cross-doc
+    intersection cardinalities (the invariant banding and set-Jaccard
+    depend on)."""
+    from pyspark.sql import functions as F
+
+    from pandera_unified_validator_spark.operators.dedup import shingles
+    from pandera_unified_validator_spark.operators.text import shingle_hashes
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    rows = df.select(
+        "doc_id",
+        F.array_distinct(shingles("text", k)).alias("s"),
+        F.array_distinct(shingle_hashes("text", k)).alias("h"),
+    ).collect()
+    s = {r["doc_id"]: set(r["s"]) for r in rows}
+    h = {r["doc_id"]: set(r["h"]) for r in rows}
+    for a in s:
+        assert len(s[a]) == len(h[a])
+        for b in s:
+            assert len(s[a] & s[b]) == len(h[a] & h[b])

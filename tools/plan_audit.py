@@ -139,6 +139,20 @@ def main() -> None:
         )
     )
 
+    from pandera_unified_validator_spark.operators.dedup import contamination_flags
+
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    sections.append(
+        (
+            "Benchmark decontamination",
+            "The benchmark's distinct gram-hash set BROADCASTS; the corpus "
+            "explodes once into (doc, gram-hash) longs and hash-joins "
+            "against it — the corpus is never shuffled on text, and only "
+            "flagged (doc_id, count) rows reach the aggregation.",
+            plan_of(contamination_flags(docs, bench, n=8)),
+        )
+    )
+
     out = ["# PLAN — physical-plan audit (generated by tools/plan_audit.py)\n"]
     for title, why, plan in sections:
         s = summarize(plan)
