@@ -619,15 +619,24 @@ def contamination_flags(
     clean majority must not be materialized. ``overlap_grams`` counts the
     doc's DISTINCT grams that appear anywhere in the benchmark."""
     bench_text = bench_text_col or text_col
+    # word-hash arrays are materialized projections: an inlined
+    # shingle_hashes expression re-evaluates the word hashes per gram —
+    # O(words²) per doc (measured 21s → 1s at sf0.1)
     bench_grams = (
-        benchmark.select(F.explode(shingle_hashes(bench_text, n)).alias("__g"))
+        benchmark.select(
+            F.transform(words(bench_text), lambda w: F.xxhash64(w)).alias("__whh")
+        )
+        .select(F.explode(_gram_hashes(F.col("__whh"), n)).alias("__g"))
         .distinct()
     )
     if broadcast_benchmark:
         bench_grams = F.broadcast(bench_grams)
     doc_grams = df.select(
         F.col(id_col),
-        F.explode(F.array_distinct(shingle_hashes(text_col, n))).alias("__g"),
+        F.transform(words(text_col), lambda w: F.xxhash64(w)).alias("__whh"),
+    ).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_gram_hashes(F.col("__whh"), n))).alias("__g"),
     )
     return (
         doc_grams.join(bench_grams, "__g")

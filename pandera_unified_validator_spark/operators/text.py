@@ -105,14 +105,14 @@ def repetition_scores(
     * ``dup_line_frac`` — fraction of non-empty lines that are duplicates
       of an earlier line (boilerplate/navigation pages).
 
-    One codegen pass, no shuffle: both signals are per-row expressions over
-    the gram-hash and line arrays (grams via ``shingle_hashes`` — no gram
-    strings), so the operator composes into any scan. Docs with no words
-    get ratio 0 (nothing repeats). Returns
+    One pass, no shuffle: both signals are per-row expressions over the
+    gram-hash and line arrays (grams via the word-hash scheme — no gram
+    strings), so the operator composes into any scan. The word-hash and
+    gram arrays are MATERIALIZED projections (one evaluation per row) — a
+    single inlined expression would re-evaluate the word hashes once per
+    gram, O(words²) per doc (measured 26s → 1s at sf0.1). Docs with no
+    words get ratio 0 (nothing repeats). Returns
     (id, n_grams, n_distinct_grams, repetition_ratio, dup_line_frac)."""
-    gh = shingle_hashes(text_col, n)
-    n_grams = F.size(gh)
-    n_distinct = F.size(F.array_distinct(gh))
     # single-arg lambda on purpose: F.trim itself has an optional second
     # parameter, so passing it bare would receive the element INDEX as the
     # trim-characters argument (the F.transform arity dispatch, CLAUDE.md)
@@ -123,15 +123,26 @@ def repetition_scores(
         ),
         lambda l: l != "",
     )
-    n_lines = F.size(lines)
+    staged = df.select(
+        F.col(id_col),
+        F.transform(words(text_col), lambda w: F.xxhash64(w)).alias("__whh"),
+        lines.alias("__lines"),
+    ).select(
+        F.col(id_col),
+        _gram_hashes(F.col("__whh"), n).alias("__gh"),
+        F.col("__lines"),
+    )
+    n_grams = F.size("__gh")
+    n_distinct = F.size(F.array_distinct("__gh"))
+    n_lines = F.size("__lines")
     rep = F.when(
         n_grams > 0, 1.0 - n_distinct.cast("double") / n_grams
     ).otherwise(F.lit(0.0))
     dlf = F.when(
         n_lines > 0,
-        1.0 - F.size(F.array_distinct(lines)).cast("double") / n_lines,
+        1.0 - F.size(F.array_distinct("__lines")).cast("double") / n_lines,
     ).otherwise(F.lit(0.0))
-    return df.select(
+    return staged.select(
         F.col(id_col),
         n_grams.alias("n_grams"),
         n_distinct.alias("n_distinct_grams"),
