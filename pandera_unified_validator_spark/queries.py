@@ -1193,6 +1193,51 @@ FROM w GROUP BY 1 ORDER BY 1
 """
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling under the driver gate: per-source
+    md5-threshold selection over documents (src1 50%, src2 100%, default
+    10%), summarized per source with a value checksum. The oracle replays
+    the identical hash arithmetic (``md5('42|' || doc_id)`` first 8 hex
+    digits as an integer) in DuckDB — the selection is content-stable, so
+    both engines MUST pick the same rows, not just the same counts; that
+    engine-portability is the whole point of hash-threshold sampling
+    (operators/sampling.py module docstring)."""
+    from .operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    s = stratified_sample(
+        d, "source", {"src1": 0.5, "src2": 1.0}, "doc_id", seed=42,
+        default_fraction=0.1,
+    )
+    return (
+        s.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").alias("id_sum"),
+            F.sum("n_chars").alias("chars_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_STRATIFIED_SAMPLE = """
+WITH h AS (
+  SELECT *,
+         CAST(('0x' || substring(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv,
+         CASE source WHEN 'src1' THEN CAST(0.5 * 4294967296 AS BIGINT)
+                     WHEN 'src2' THEN CAST(1.0 * 4294967296 AS BIGINT)
+                     ELSE CAST(0.1 * 4294967296 AS BIGINT) END AS thr
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       CAST(sum(n_chars) AS BIGINT) AS chars_sum
+FROM h WHERE hv < thr
+GROUP BY source ORDER BY source
+"""
+
+
 def q_repetition_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style intra-document repetition filters under the driver gate:
     ``repetition_scores`` (1 − distinct/total word 3-grams, duplicate-line
@@ -1521,6 +1566,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "token_bucket_drift": (q_token_bucket_drift, _SQL_TOKEN_BUCKET_DRIFT),
     "repetition_by_source": (q_repetition_by_source, _SQL_REPETITION_BY_SOURCE),
     "contamination_flags": (q_contamination_flags, _SQL_CONTAMINATION_FLAGS),
+    "stratified_sample": (q_stratified_sample, _SQL_STRATIFIED_SAMPLE),
     "multimodal_fake_decode": (q_multimodal_fake_decode, _SQL_MULTIMODAL_FAKE_DECODE),
     "apply_fixes_lineitem": (q_apply_fixes_lineitem, _SQL_APPLY_FIXES_LINEITEM),
 }
