@@ -175,6 +175,7 @@ def cross_batch_unique_monitor(
     n_buckets: int = 16,
     bloom_bits: int = 1 << 20,
     n_probes: int = 7,
+    max_flagged_keys: int = 20,
 ) -> DataFrame:
     """Cross-micro-batch PROBABLE-duplicate detection for a declared-unique
     key on an unbounded stream — the actionable counterpart to the engine's
@@ -198,20 +199,29 @@ def cross_batch_unique_monitor(
     key spaces.
 
     Returns a streaming DataFrame (bucket, batch_rows, probable_dups,
-    total_rows, total_probable_dups, fill_ratio); attach with output mode
-    "update". Null keys are ignored (nullability is its own check).
+    total_rows, total_probable_dups, fill_ratio, flagged); attach with
+    output mode "update". ``flagged`` carries up to ``max_flagged_keys``
+    flagged key values per bucket per batch (the smallest, so the sample is
+    deterministic for a given batch content) — the quarantine breadcrumb;
+    set 0 to keep rows hash-only through the shuffle. Null keys are
+    ignored (nullability is its own check).
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     if bloom_bits % 64:
         raise ValueError("bloom_bits must be a multiple of 64")
     sel = stream_df.where(F.col(key_col).isNotNull()).select(
-        F.xxhash64(F.col(key_col)).alias("__kh")
+        F.xxhash64(F.col(key_col)).alias("__kh"),
+        *(
+            [F.col(key_col).cast("string").alias("__key")]
+            if max_flagged_keys > 0
+            else []
+        ),
     )
     sel = sel.withColumn("__bucket", F.pmod(F.col("__kh"), F.lit(n_buckets)).cast("int"))
     out_schema = (
         "bucket int, batch_rows long, probable_dups long, total_rows long, "
-        "total_probable_dups long, fill_ratio double"
+        "total_probable_dups long, fill_ratio double, flagged array<string>"
     )
     state_schema = "filter binary, total_rows long, total_probable_dups long"
     m = bloom_bits
@@ -229,6 +239,7 @@ def cross_batch_unique_monitor(
             total_rows, total_dups = 0, 0
         batch_rows = 0
         batch_dups = 0
+        flagged: list[str] = []
         for pdf in pdfs:
             if not len(pdf):
                 continue
@@ -256,6 +267,8 @@ def cross_batch_unique_monitor(
             repeat[first_idx] = False
             dup = seen | repeat
             batch_dups += int(dup.sum())
+            if max_flagged_keys > 0 and dup.any():
+                flagged.extend(pd.unique(pdf["__key"].to_numpy()[dup]))
             for pos in pos_list:  # insert the whole batch
                 np.bitwise_or.at(
                     filt,
@@ -274,6 +287,8 @@ def cross_batch_unique_monitor(
                 "total_rows": [total_rows],
                 "total_probable_dups": [total_dups],
                 "fill_ratio": [round(fill, 6)],
+                # smallest-N: deterministic for a given batch content
+                "flagged": [sorted(set(flagged))[:max_flagged_keys]],
             }
         )
 

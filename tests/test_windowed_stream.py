@@ -155,3 +155,8 @@ def test_cross_batch_unique_monitor(spark, tmp_path):
     # 5 cross-batch repeats (k5..k9) + 1 within-batch repeat (second k100)
     assert sum(r["total_probable_dups"] for r in final.values()) == 6
     assert all(0.0 <= r["fill_ratio"] < 0.01 for r in final.values())
+    # flagged keys name the offenders (union over batches per bucket)
+    flagged = set()
+    for r in rows:
+        flagged.update(r["flagged"])
+    assert flagged == {"k5", "k6", "k7", "k8", "k9", "k100"}
