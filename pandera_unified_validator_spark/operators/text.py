@@ -10,6 +10,8 @@ return annotated DataFrames.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -96,6 +98,7 @@ def repetition_scores(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    keep_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Intra-document repetition signals (the Gopher-style repetition
     filters a training-data pipeline gates on):
@@ -111,8 +114,11 @@ def repetition_scores(
     gram arrays are MATERIALIZED projections (one evaluation per row) — a
     single inlined expression would re-evaluate the word hashes once per
     gram, O(words²) per doc (measured 26s → 1s at sf0.1). Docs with no
-    words get ratio 0 (nothing repeats). Returns
-    (id, n_grams, n_distinct_grams, repetition_ratio, dup_line_frac)."""
+    words get ratio 0 (nothing repeats). ``keep_cols`` carries extra input
+    columns through (e.g. the stratum for a per-source aggregate) so
+    callers never need a join-back on ``id_col`` — a shuffle at corpus
+    scale. Returns (id, *keep_cols, n_grams, n_distinct_grams,
+    repetition_ratio, dup_line_frac)."""
     # single-arg lambda on purpose: F.trim itself has an optional second
     # parameter, so passing it bare would receive the element INDEX as the
     # trim-characters argument (the F.transform arity dispatch, CLAUDE.md)
@@ -123,12 +129,15 @@ def repetition_scores(
         ),
         lambda l: l != "",
     )
+    keep = [F.col(c) for c in keep_cols]
     staged = df.select(
         F.col(id_col),
+        *keep,
         F.transform(words(text_col), lambda w: F.xxhash64(w)).alias("__whh"),
         lines.alias("__lines"),
     ).select(
         F.col(id_col),
+        *keep,
         _gram_hashes(F.col("__whh"), n).alias("__gh"),
         F.col("__lines"),
     )
@@ -144,6 +153,7 @@ def repetition_scores(
     ).otherwise(F.lit(0.0))
     return staged.select(
         F.col(id_col),
+        *keep,
         n_grams.alias("n_grams"),
         n_distinct.alias("n_distinct_grams"),
         F.round(rep, 4).alias("repetition_ratio"),

@@ -1247,10 +1247,10 @@ def q_repetition_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import repetition_scores
 
     d = _t(spark, sf_dir, "documents")
-    rep = repetition_scores(d, "doc_id", "text", n=3)
+    # keep_cols carries the stratum through the same scan — no join-back
+    rep = repetition_scores(d, "doc_id", "text", n=3, keep_cols=("source",))
     return (
-        rep.join(d.select("doc_id", "source"), "doc_id")
-        .groupBy("source")
+        rep.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("docs"),
             F.round(F.avg("repetition_ratio"), 4).alias("avg_repetition"),
