@@ -95,6 +95,61 @@ def cmd_schema(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    """Exact or MinHash near-dedup a corpus to parquet (keep-one)."""
+    from pyspark.sql import functions as F
+
+    from .operators.dedup import dedup_exact, minhash_dedup_pairs
+    from .session import get_spark
+
+    spark = get_spark("puv-cli")
+    df = _read_any(spark, args.data, args.format)
+    if args.near:
+        pairs = minhash_dedup_pairs(
+            df,
+            args.id,
+            args.text,
+            num_hashes=args.num_hashes,
+            bands=args.bands,
+            jaccard_threshold=args.threshold,
+        )
+        # keep-one: drop every id that appears as the GREATER member of a
+        # pair (min-id representative survives its duplicate cluster)
+        losers = pairs.select(F.col("id_b").alias(args.id)).distinct()
+        out = df.join(losers, args.id, "left_anti")
+    else:
+        cols = args.columns.split(",") if args.columns else [args.text]
+        out = dedup_exact(df, cols, tiebreak=args.id)
+    before, after = df.count(), out.count()
+    out.write.mode("overwrite").parquet(args.output)
+    print(f"kept {after:,}/{before:,} rows -> {args.output}")
+    return 0
+
+
+def cmd_sample(args) -> int:
+    """Deterministic (optionally stratified) hash-threshold sample."""
+    from .operators.sampling import deterministic_sample, stratified_sample
+    from .session import get_spark
+
+    spark = get_spark("puv-cli")
+    df = _read_any(spark, args.data, args.format)
+    if args.strata:
+        fractions = {
+            k: float(v)
+            for k, v in (kv.split("=") for kv in args.fractions.split(","))
+        }
+        out = stratified_sample(
+            df, args.strata, fractions, args.key, seed=args.seed,
+            default_fraction=args.default_fraction,
+        )
+    else:
+        out = deterministic_sample(df, args.key, args.fraction, seed=args.seed)
+    n = out.count()
+    out.write.mode("overwrite").parquet(args.output)
+    print(f"sampled {n:,} rows -> {args.output}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     from . import __version__
 
@@ -128,6 +183,33 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--output")
     s.add_argument("--exact", action="store_true")
     s.set_defaults(fn=cmd_schema)
+
+    d = sub.add_parser("dedup", help="exact or MinHash near-dedup to parquet")
+    d.add_argument("data")
+    d.add_argument("--output", required=True)
+    d.add_argument("--format", choices=["csv", "jsonl", "parquet"])
+    d.add_argument("--id", default="doc_id")
+    d.add_argument("--text", default="text")
+    d.add_argument("--columns", help="exact-dedup key columns (default: --text)")
+    d.add_argument("--near", action="store_true", help="MinHash+LSH near-dedup")
+    d.add_argument("--num-hashes", type=int, default=64, dest="num_hashes")
+    d.add_argument("--bands", type=int, default=16)
+    d.add_argument("--threshold", type=float, default=0.8)
+    d.set_defaults(fn=cmd_dedup)
+
+    sm = sub.add_parser("sample", help="deterministic hash-threshold sample")
+    sm.add_argument("data")
+    sm.add_argument("--output", required=True)
+    sm.add_argument("--format", choices=["csv", "jsonl", "parquet"])
+    sm.add_argument("--key", default="doc_id")
+    sm.add_argument("--fraction", type=float, default=0.1)
+    sm.add_argument("--seed", type=int, default=42)
+    sm.add_argument("--strata", help="stratum column (enables per-stratum fractions)")
+    sm.add_argument("--fractions", help="stratum=frac,stratum=frac ...")
+    sm.add_argument(
+        "--default-fraction", type=float, default=0.0, dest="default_fraction"
+    )
+    sm.set_defaults(fn=cmd_sample)
 
     args = p.parse_args(argv)
     return args.fn(args)

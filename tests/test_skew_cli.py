@@ -104,3 +104,36 @@ def test_cli_profile(users_csv, tmp_path):
     prof = json.load(open(out))
     assert prof["n_rows"] == 3
     assert prof["columns"]["age"]["max"] == 150
+
+
+def test_cli_dedup_and_sample(spark, tmp_path):
+    src = str(tmp_path / "corpus")
+    rows = [(i, "s1" if i % 2 else "s2", f"unique text number {i} padded") for i in range(40)]
+    rows += [(100, "s1", "unique text number 1 padded")]   # exact dup of doc 1
+    spark.createDataFrame(rows, "doc_id long, source string, text string").write.parquet(src)
+
+    out1 = str(tmp_path / "deduped")
+    r = run_cli("dedup", src, "--output", out1, "--columns", "text", "--id", "doc_id")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "kept 40/41" in r.stdout.replace(",", "")
+    deduped = spark.read.parquet(out1)
+    ids = {x["doc_id"] for x in deduped.select("doc_id").collect()}
+    assert 100 not in ids and 1 in ids            # min-doc_id survivor
+
+    out2 = str(tmp_path / "near")
+    r2 = run_cli("dedup", src, "--output", out2, "--near", "--threshold", "0.8",
+                 "--num-hashes", "32", "--bands", "16")
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    near = spark.read.parquet(out2)
+    nids = {x["doc_id"] for x in near.select("doc_id").collect()}
+    assert 100 not in nids and 1 in nids          # near-dup keep-one
+
+    out3 = str(tmp_path / "sampled")
+    r3 = run_cli("sample", src, "--output", out3, "--key", "doc_id",
+                 "--strata", "source", "--fractions", "s1=1.0,s2=0.5")
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    samp = spark.read.parquet(out3)
+    by = {x["source"]: x["n"] for x in
+          samp.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert by["s1"] == 21                          # whole stratum kept
+    assert 0 < by.get("s2", 0) < 20                # ~half
