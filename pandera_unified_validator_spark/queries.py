@@ -13,6 +13,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .operators.drift import histogram_df, psi_df
 from .operators.profiler import numeric_summary
@@ -1193,6 +1194,69 @@ FROM w GROUP BY 1 ORDER BY 1
 """
 
 
+def q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL image codec under the driver gate (round 4 — the fake-codec
+    plumbing query stays separately gated): 8×6 24-bit BMPs are synthesized
+    from pure pixel arithmetic (pixel(i,y,x,c) = (31·i + 7·y + 3·x + 11·c)
+    mod 256), round-tripped through ``encode_bmp`` → Spark binary column →
+    ``decode_image_features(fake=False)`` (stdlib+numpy BMP parser), and
+    the per-channel pixel SUMS are recovered from the feature vector
+    (integer-exact, so no float-rounding boundary risk). The oracle never
+    parses BMP — it recomputes the sums straight from the pixel formula,
+    which only matches if the encoder, the decoder, and the feature layout
+    are all bit-correct."""
+    from .operators.multimodal import decode_image_features, encode_bmp
+
+    W, H = 8, 6
+    ids = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 64)
+
+    @F.pandas_udf(T.BinaryType())
+    def make_bmp(s):
+        import numpy as np
+        import pandas as pd
+
+        out = []
+        for i in s:
+            y, x, c = np.ogrid[0:H, 0:W, 0:3]
+            arr = ((31 * int(i) + 7 * y + 3 * x + 11 * c) % 256).astype(np.uint8)
+            out.append(encode_bmp(arr))
+        return pd.Series(out)
+
+    media = ids.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        make_bmp("doc_id").alias("payload"),
+    )
+    feats = decode_image_features(media, dim=8, fake=False)
+    n_px = W * H
+    return feats.select(
+        F.col("media_id").cast("long").alias("media_id"),
+        F.round(F.col("features")[0] * 255 * n_px).cast("long").alias("r_sum"),
+        F.round(F.col("features")[1] * 255 * n_px).cast("long").alias("g_sum"),
+        F.round(F.col("features")[2] * 255 * n_px).cast("long").alias("b_sum"),
+        F.round(F.col("features")[3], 4).alias("aspect"),
+    ).orderBy("media_id")
+
+
+_SQL_MULTIMODAL_REAL_DECODE = """
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 64),
+px AS (
+  SELECT doc_id,
+         (31 * doc_id + 7 * y + 3 * x) % 256 AS r,
+         (31 * doc_id + 7 * y + 3 * x + 11) % 256 AS g,
+         (31 * doc_id + 7 * y + 3 * x + 22) % 256 AS b
+  FROM ids,
+       unnest(generate_series(0, 5)) t1(y),
+       unnest(generate_series(0, 7)) t2(x)
+)
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CAST(sum(r) AS BIGINT) AS r_sum,
+       CAST(sum(g) AS BIGINT) AS g_sum,
+       CAST(sum(b) AS BIGINT) AS b_sum,
+       round(8.0 / 6.0, 4) AS aspect
+FROM px GROUP BY doc_id ORDER BY media_id
+"""
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling under the driver gate: per-source
     md5-threshold selection over documents (src1 50%, src2 100%, default
@@ -1567,6 +1631,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "repetition_by_source": (q_repetition_by_source, _SQL_REPETITION_BY_SOURCE),
     "contamination_flags": (q_contamination_flags, _SQL_CONTAMINATION_FLAGS),
     "stratified_sample": (q_stratified_sample, _SQL_STRATIFIED_SAMPLE),
+    "multimodal_real_decode": (q_multimodal_real_decode, _SQL_MULTIMODAL_REAL_DECODE),
     "multimodal_fake_decode": (q_multimodal_fake_decode, _SQL_MULTIMODAL_FAKE_DECODE),
     "apply_fixes_lineitem": (q_apply_fixes_lineitem, _SQL_APPLY_FIXES_LINEITEM),
 }

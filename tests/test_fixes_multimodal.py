@@ -80,12 +80,12 @@ def test_decode_stub_is_deterministic(spark, media):
     assert all(0.0 <= x <= 1.0 for x in fa["m1"])
 
 
-def test_decode_real_path_raises(spark, media):
-    # real decode is not implemented: fake=False must raise even when an
-    # imaging library happens to be importable (never silently emit stubs)
+def test_decode_real_path_raises_on_unparseable(spark, media):
+    # non-BMP payloads without PIL must raise — never silently emit stub
+    # vectors as if they were decoded features
     with pytest.raises(Exception) as ei:
         decode_image_features(media, fake=False).collect()
-    assert "NotImplementedError" in str(ei.value) or "not implemented" in str(ei.value)
+    assert "NotImplementedError" in str(ei.value) or "BMP" in str(ei.value)
 
 
 def test_resize_and_frame_sampling_stubs(spark, media):
@@ -114,3 +114,81 @@ def test_clamp_fix_preserves_nulls(spark):
     assert [s.kind for s in fixes] == ["clamp_range"]
     got = [r["x"] for r in apply_fixes(df, fixes).collect()]
     assert sorted(got, key=lambda v: (v is None, v)) == [2.0, 3.0, 4.0, None]
+
+
+def test_real_bmp_decode_resize_roundtrip(spark):
+    """REAL image codec (round 4): synthesized 24-bit BMPs decode through
+    the Spark pipeline to the exact feature values computed locally, and
+    resize produces a valid BMP of the new dimensions with sensible
+    content."""
+    import numpy as np
+
+    from pandera_unified_validator_spark.operators.multimodal import (
+        _image_features,
+        decode_bmp,
+        encode_bmp,
+        resize_images,
+    )
+
+    rng = np.random.RandomState(7)
+    imgs = {
+        "i1": rng.randint(0, 256, (6, 8, 3), dtype=np.uint8),
+        "i2": rng.randint(0, 256, (5, 5, 3), dtype=np.uint8),
+    }
+    # codec round-trip is bit-exact before Spark is involved
+    for a in imgs.values():
+        assert (decode_bmp(encode_bmp(a)) == a).all()
+
+    rows = [
+        (k, "image", "image/bmp", a.shape[1], a.shape[0], None, encode_bmp(a))
+        for k, a in imgs.items()
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {
+        r["media_id"]: r["features"]
+        for r in decode_image_features(media, dim=8, fake=False).collect()
+    }
+    for k, a in imgs.items():
+        exp = _image_features(a, 8)
+        assert got[k] == pytest.approx(exp, abs=1e-5), k
+    # mean channel values land in features[0..2]
+    assert got["i1"][0] == pytest.approx(imgs["i1"][..., 0].mean() / 255, abs=1e-5)
+
+    resized = {
+        r["media_id"]: r
+        for r in resize_images(media, 4, 3, fake=False).collect()
+    }
+    for k, a in imgs.items():
+        out = decode_bmp(bytes(resized[k]["payload"]))
+        assert out.shape == (3, 4, 3)
+        assert resized[k]["width"] == 4 and resized[k]["height"] == 3
+        # nearest-neighbor: every output pixel exists in the source image
+        src = {tuple(p) for p in a.reshape(-1, 3)}
+        assert all(tuple(p) in src for p in out.reshape(-1, 3))
+
+
+def test_real_wav_decode(spark):
+    """REAL audio codec: a synthesized PCM sine decodes to features whose
+    duration/rms/peak match the analytic values."""
+    import numpy as np
+
+    from pandera_unified_validator_spark.operators.multimodal import (
+        decode_audio_features,
+        decode_wav,
+        encode_wav,
+    )
+
+    rate = 8000
+    t = np.arange(rate)  # 1 second
+    sine = (0.5 * np.sin(2 * np.pi * 440 * t / rate) * 32767).astype("<i2")
+    x, r = decode_wav(encode_wav(sine, rate))
+    assert r == rate and len(x) == rate
+    assert float(np.abs(x).max()) == pytest.approx(0.5, abs=1e-3)
+
+    rows = [("a1", "audio", "audio/wav", None, None, 1000, encode_wav(sine, rate))]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = decode_audio_features(media, dim=8, fake=False).collect()[0]["features"]
+    assert feats[0] == pytest.approx(1.0, abs=1e-6)          # duration sec
+    assert feats[1] == pytest.approx(0.5 / np.sqrt(2), abs=1e-3)  # sine rms
+    assert feats[2] == pytest.approx(0.5, abs=1e-3)          # peak
+    assert len(feats) == 8
