@@ -192,3 +192,37 @@ def test_real_wav_decode(spark):
     assert feats[1] == pytest.approx(0.5 / np.sqrt(2), abs=1e-3)  # sine rms
     assert feats[2] == pytest.approx(0.5, abs=1e-3)          # peak
     assert len(feats) == 8
+
+
+def test_real_png_all_filters_roundtrip(spark):
+    """PNG codec: the encoder writes each spec filter type (forward
+    transform), the decoder un-filters (independent inverse) — round-trip
+    must be bit-exact for every filter, RGB and RGBA, and the Spark decode
+    path must agree with local features."""
+    import numpy as np
+
+    from pandera_unified_validator_spark.operators.multimodal import (
+        _image_features,
+        _to_rgb,
+        decode_png,
+        encode_png,
+        resize_images,
+    )
+
+    rng = np.random.RandomState(11)
+    rgb = rng.randint(0, 256, (9, 7, 3), dtype=np.uint8)
+    rgba = rng.randint(0, 256, (4, 6, 4), dtype=np.uint8)
+    for ft in range(5):
+        assert (decode_png(encode_png(rgb, ft)) == rgb).all(), f"filter {ft} (rgb)"
+        assert (decode_png(encode_png(rgba, ft)) == rgba).all(), f"filter {ft} (rgba)"
+
+    rows = [("p1", "image", "image/png", 7, 9, None, encode_png(rgb, 4))]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = decode_image_features(media, dim=8, fake=False).collect()[0]["features"]
+    assert got == pytest.approx(_image_features(rgb, 8), abs=1e-5)
+
+    out = resize_images(media, 3, 4, fake=False).collect()[0]
+    arr = decode_png(bytes(out["payload"]))
+    assert arr.shape == (4, 3, 3)
+    src = {tuple(p) for p in rgb.reshape(-1, 3)}
+    assert all(tuple(p) in src for p in arr.reshape(-1, 3))
