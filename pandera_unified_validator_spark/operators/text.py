@@ -24,6 +24,7 @@ __all__ = [
     "quality_features",
     "quality_score",
     "repetition_scores",
+    "compression_ratio",
     "fingerprint",
     "analyze_text",
 ]
@@ -240,6 +241,38 @@ def quality_score(text: Column | str) -> Column:
     )
     score = 0.3 * len_ok + 0.25 * short_pen + 0.2 * stop_ok + 0.25 * noise
     return F.round(score, 4)
+
+
+def compression_ratio(text: Column | str, level: int = 6) -> Column:
+    """zlib-compressed size / raw UTF-8 size — the classic boilerplate
+    detector (natural prose ≈ 0.4-0.7; looping/templated text ≪ that;
+    already-compressed or random data ≈ 1). Arrow-batched pandas UDF (zlib
+    is not expressible in Spark SQL); the per-row work is C-speed zlib, so
+    the batch transfer dominates — acceptable for a gating signal computed
+    once per doc. NULL text → NULL; empty text → 1.0 (incompressible by
+    convention, so empty docs aren't flagged as repetitive)."""
+    c = F.col(text) if isinstance(text, str) else text
+
+    @F.pandas_udf("double")
+    def _ratio(s):
+        import zlib
+
+        import pandas as pd
+
+        out = []
+        for v in s:
+            if v is None:
+                out.append(None)
+            else:
+                raw = v.encode("utf-8")
+                out.append(
+                    round(len(zlib.compress(raw, level)) / len(raw), 6)
+                    if raw
+                    else 1.0
+                )
+        return pd.Series(out, dtype="float64")
+
+    return _ratio(c)
 
 
 def fingerprint(text: Column | str) -> Column:

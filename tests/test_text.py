@@ -135,3 +135,26 @@ def test_contamination_flags(spark):
     assert set(got) == {1} and got[1] >= 1
     # higher threshold drops it
     assert contamination_flags(corpus, bench, n=8, min_overlap=100).count() == 0
+
+
+def test_compression_ratio(spark):
+    from pandera_unified_validator_spark.operators.text import compression_ratio
+
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    rand_text = " ".join("".join(rng.choice(list("abcdefghij"), 8)) for _ in range(200))
+    docs = spark.createDataFrame(
+        [
+            (1, "spam " * 500),        # loops -> tiny ratio
+            (2, rand_text),            # high-entropy words -> larger ratio
+            (3, ""),                   # empty -> 1.0
+            (4, None),                 # null -> null
+        ],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r["cr"] for r in
+           docs.select("doc_id", compression_ratio("text").alias("cr")).collect()}
+    assert got[1] < 0.05
+    assert got[2] > 3 * got[1]
+    assert got[3] == 1.0 and got[4] is None
