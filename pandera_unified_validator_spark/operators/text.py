@@ -24,6 +24,8 @@ __all__ = [
     "quality_features",
     "quality_score",
     "repetition_scores",
+    "pii_counts",
+    "redact_pii",
     "compression_ratio",
     "fingerprint",
     "analyze_text",
@@ -241,6 +243,36 @@ def quality_score(text: Column | str) -> Column:
     )
     score = 0.3 * len_ok + 0.25 * short_pen + 0.2 * stop_ok + 0.25 * noise
     return F.round(score, 4)
+
+
+# PII patterns chosen to mean the same thing in Java regex (Spark) and RE2
+# (DuckDB): no lookarounds, ASCII \b word boundaries, explicit classes.
+# Order matters for redaction: SSN before phone (overlapping digit shapes).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+    "phone": r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Per-kind PII occurrence counts (email / ssn / phone / ipv4) as pure
+    ``regexp_count`` expressions — codegen, no UDF, and the patterns are
+    RE2-portable so a SQL oracle counts the identical matches. Heuristic
+    surface patterns (the corpus-hygiene gate), not a compliance scanner."""
+    c = F.col(text) if isinstance(text, str) else text
+    return {k: F.regexp_count(c, F.lit(p)) for k, p in PII_PATTERNS.items()}
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace every PII match with ``[KIND]`` — a chained global
+    ``regexp_replace`` (one codegen projection; order = PII_PATTERNS order,
+    SSN before phone so the more specific shape wins)."""
+    c = F.col(text) if isinstance(text, str) else text
+    for kind, pat in PII_PATTERNS.items():
+        c = F.regexp_replace(c, pat, f"[{kind.upper()}]")
+    return c
 
 
 def compression_ratio(text: Column | str, level: int = 6) -> Column:

@@ -1194,6 +1194,77 @@ FROM w GROUP BY 1 ORDER BY 1
 """
 
 
+def q_pii_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction under the driver gate: deterministic PII
+    strings (email/phone/SSN/IPv4, keyed by doc_id mod 5) are appended to
+    documents, counted per kind with the codegen ``pii_counts`` regexes,
+    and redacted with ``redact_pii``; the per-source sums AND the total
+    redacted text length must match DuckDB running the identical
+    RE2-portable patterns — a match requires both engines to find exactly
+    the same spans."""
+    from .operators.text import pii_counts, redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    m = F.pmod(F.col("doc_id"), F.lit(5))
+    injected = d.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(m == 0, F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com")))
+            .when(m == 1, F.lit(" call 555-123-4567"))
+            .when(m == 2, F.lit(" ssn 123-45-6789"))
+            .when(m == 3, F.concat(F.lit(" ip 10.0.0."), F.pmod(F.col("doc_id"), F.lit(256)).cast("string")))
+            .otherwise(F.lit("")),
+        ).alias("text2"),
+    )
+    cnts = pii_counts("text2")
+    return (
+        injected.groupBy("source")
+        .agg(
+            F.sum(cnts["email"]).alias("emails"),
+            F.sum(cnts["phone"]).alias("phones"),
+            F.sum(cnts["ssn"]).alias("ssns"),
+            F.sum(cnts["ipv4"]).alias("ipv4s"),
+            F.sum(F.length(redact_pii("text2"))).alias("red_len"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_PII_BY_SOURCE = r"""
+WITH inj AS (
+  SELECT source,
+         text || CASE doc_id % 5
+                 WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 WHEN 1 THEN ' call 555-123-4567'
+                 WHEN 2 THEN ' ssn 123-45-6789'
+                 WHEN 3 THEN ' ip 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)
+                 ELSE '' END AS text2
+  FROM documents
+),
+red AS (
+  SELECT source, text2,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text2,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '[SSN]', 'g'),
+             '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '[PHONE]', 'g'),
+           '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IPV4]', 'g') AS redacted
+  FROM inj
+)
+SELECT source,
+       CAST(sum(len(regexp_extract_all(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS emails,
+       CAST(sum(len(regexp_extract_all(text2, '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b'))) AS BIGINT) AS phones,
+       CAST(sum(len(regexp_extract_all(text2, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b'))) AS BIGINT) AS ssns,
+       CAST(sum(len(regexp_extract_all(text2, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))) AS BIGINT) AS ipv4s,
+       CAST(sum(len(redacted)) AS BIGINT) AS red_len
+FROM red GROUP BY source ORDER BY source
+"""
+
+
 def q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL image codec under the driver gate (round 4 — the fake-codec
     plumbing query stays separately gated): 8×6 24-bit BMPs are synthesized
@@ -1632,6 +1703,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "contamination_flags": (q_contamination_flags, _SQL_CONTAMINATION_FLAGS),
     "stratified_sample": (q_stratified_sample, _SQL_STRATIFIED_SAMPLE),
     "multimodal_real_decode": (q_multimodal_real_decode, _SQL_MULTIMODAL_REAL_DECODE),
+    "pii_by_source": (q_pii_by_source, _SQL_PII_BY_SOURCE),
     "multimodal_fake_decode": (q_multimodal_fake_decode, _SQL_MULTIMODAL_FAKE_DECODE),
     "apply_fixes_lineitem": (q_apply_fixes_lineitem, _SQL_APPLY_FIXES_LINEITEM),
 }

@@ -158,3 +158,31 @@ def test_compression_ratio(spark):
     assert got[1] < 0.05
     assert got[2] > 3 * got[1]
     assert got[3] == 1.0 and got[4] is None
+
+
+def test_pii_counts_and_redaction(spark):
+    from pandera_unified_validator_spark.operators.text import pii_counts, redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at a.b+c@test.org or x@y.io, call 555-123-4567"),
+            (2, "ssn 123-45-6789 from host 10.0.255.3"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id int, text string",
+    )
+    cnts = pii_counts("text")
+    got = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id", *[c.alias(k) for k, c in cnts.items()],
+            redact_pii("text").alias("red"),
+        ).collect()
+    }
+    assert (got[1]["email"], got[1]["phone"]) == (2, 1)
+    assert (got[2]["ssn"], got[2]["ipv4"]) == (1, 1)
+    assert got[2]["phone"] == 0                      # ssn shape is not a phone
+    assert got[3]["email"] == got[3]["ipv4"] == 0
+    assert got[1]["red"] == "mail me at [EMAIL] or [EMAIL], call [PHONE]"
+    assert got[2]["red"] == "ssn [SSN] from host [IPV4]"
+    assert got[3]["red"] == "nothing sensitive here"
