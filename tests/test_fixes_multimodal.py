@@ -226,3 +226,41 @@ def test_real_png_all_filters_roundtrip(spark):
     assert arr.shape == (4, 3, 3)
     src = {tuple(p) for p in rgb.reshape(-1, 3)}
     assert all(tuple(p) in src for p in arr.reshape(-1, 3))
+
+
+def test_png_grayscale_and_tiny_edges():
+    """Grayscale (color type 0) decodes via a hand-assembled PNG (our
+    encoder never writes it), and 1x1 / single-row / single-column images
+    survive every filter."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from pandera_unified_validator_spark.operators.multimodal import (
+        _PNG_MAGIC,
+        _png_chunk,
+        _to_rgb,
+        decode_png,
+        encode_png,
+    )
+
+    # 2x3 grayscale, filter 0 rows, assembled from the spec directly
+    pix = np.array([[10, 200, 30], [40, 5, 250]], dtype=np.uint8)
+    body = b"".join(b"\x00" + row.tobytes() for row in pix)
+    png = (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 0, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(body))
+        + _png_chunk(b"IEND", b"")
+    )
+    got = decode_png(png)
+    assert got.shape == (2, 3, 1) and (got[..., 0] == pix).all()
+    rgb = _to_rgb(got)
+    assert rgb.shape == (2, 3, 3) and (rgb[..., 0] == rgb[..., 2]).all()
+
+    rng = np.random.RandomState(2)
+    for shape in [(1, 1, 3), (1, 7, 3), (5, 1, 3), (2, 2, 4)]:
+        a = rng.randint(0, 256, shape, dtype=np.uint8)
+        for ft in range(5):
+            assert (decode_png(encode_png(a, ft)) == a).all(), (shape, ft)

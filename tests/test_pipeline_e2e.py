@@ -15,6 +15,7 @@ from pandera_unified_validator_spark.operators.dedup import (
 from pandera_unified_validator_spark.operators.sampling import stratified_sample
 from pandera_unified_validator_spark.operators.text import (
     analyze_text,
+    redact_pii,
     repetition_scores,
 )
 
@@ -36,6 +37,7 @@ def test_training_data_pipeline(spark, tmp_path):
     rows.append((100, "web", GOOD + " variant token 0"))   # exact dup of doc 0
     rows.append((101, "web", LOOPY))                        # boilerplate
     rows.append((102, "web", BENCH + " with extra words appended here"))  # leaked
+    rows.append((103, "web", GOOD + " mail me at leak@example.com please"))  # PII
     for i in range(200, 220):                 # books stratum
         rows.append((i, "books", GOOD.replace("fox", f"cat{i}")))
     corpus = spark.createDataFrame(rows, "doc_id long, source string, text string")
@@ -56,7 +58,8 @@ def test_training_data_pipeline(spark, tmp_path):
         .drop("repetition_ratio")
     )
 
-    # 4) stratified mix: all books, all web (deterministic thresholds)
+    # 4) PII redaction, then stratified mix (deterministic thresholds)
+    stage3 = stage3.withColumn("text", redact_pii("text"))
     stage4 = stratified_sample(
         stage3, "source", {"web": 1.0, "books": 1.0}, "doc_id"
     )
@@ -77,7 +80,9 @@ def test_training_data_pipeline(spark, tmp_path):
     assert 101 not in kept          # boilerplate filtered
     assert 102 not in kept          # benchmark leak removed
     assert len([k for k in kept if k >= 200]) == 20   # books stratum intact
-    assert len(kept) == 60          # 40 web + 20 books
+    assert 103 in kept and len(kept) == 61            # 40+1 web + 20 books
+    redacted = stage4.filter("doc_id = 103").collect()[0]["text"]
+    assert "[EMAIL]" in redacted and "leak@example.com" not in redacted
     assert res.is_valid, res.report.to_console()
 
     # near-dup audit on the survivors: no pair at jaccard >= 0.8 with a
