@@ -40,6 +40,8 @@ __all__ = [
     "ngram_jaccard_pairs",
     "embedding_near_dup_pairs",
     "contamination_flags",
+    "connected_components",
+    "dedup_by_components",
 ]
 
 
@@ -644,3 +646,80 @@ def contamination_flags(
         .agg(F.count(F.lit(1)).alias("overlap_grams"))
         .filter(F.col("overlap_grams") >= min_overlap)
     )
+
+
+# ------------------------------------------------- connected components ----
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components of the near-dup pair graph → (id, component),
+    component = the MINIMUM id in each component. This is the transitive
+    closure step of aggressive keep-one dedup: pairs (a,b),(b,c) put a, b
+    and c in one cluster even though a and c never paired directly.
+
+    Distributed min-label propagation: every node starts as its own label;
+    each round joins labels across edges (both directions) and takes the
+    per-node minimum; convergence = a round that changes no label (checked
+    with a count aggregate, so the loop is O(component diameter) rounds —
+    near-dup clusters are shallow, typically 2-4). Each round's labels are
+    ``localCheckpoint``-ed: iterative self-joins otherwise grow the plan
+    lineage exponentially, which at corpus scale kills the driver before
+    the executors do. Isolated nodes never appear in ``pairs`` and are
+    their own (absent) component — callers treat missing ids as unique."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "component", F.col("id")
+    )
+    labels = labels.localCheckpoint()
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("component").alias("__nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("__nmin"), F.col("component"))
+                ).alias("component"),
+                (F.coalesce(F.col("__nmin"), F.col("component")) < F.col("component"))
+                .cast("long")
+                .alias("__changed"),
+            )
+        )
+        updated = updated.localCheckpoint()
+        changed = updated.agg(F.sum("__changed")).collect()[0][0] or 0
+        labels = updated.drop("__changed")
+        if changed == 0:
+            break
+    edges.unpersist(blocking=False)
+    return labels
+
+
+def dedup_by_components(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Aggressive keep-one dedup: keep each cluster's minimum-id row (and
+    every row that appears in no pair). One broadcast-friendly anti-join:
+    the drop set is exactly the nodes whose component label differs from
+    their id — tiny relative to the corpus, like the dup-key set in the
+    uniqueness check."""
+    comp = connected_components(pairs, id_a, id_b)
+    losers = comp.filter(F.col("component") != F.col("id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -1194,6 +1194,48 @@ FROM w GROUP BY 1 ORDER BY 1
 """
 
 
+def q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering under the driver gate: the MinHash
+    pair graph over documents (same configuration as ``minhash_near_dup``,
+    whose oracle equality to the exact inverted index is already
+    established) fed through distributed min-label propagation
+    (``connected_components``) → (id, component = min id of the cluster).
+    Oracle: DuckDB rebuilds the exact pair set and takes the min over the
+    RECURSIVE transitive closure — the iterative Spark loop must land on
+    the same fixpoint."""
+    from .operators.dedup import connected_components, minhash_dedup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(
+        d, "doc_id", "text", num_hashes=16, bands=8, jaccard_threshold=0.5
+    )
+    return connected_components(pairs).orderBy("id")
+
+
+_SQL_NEAR_DUP_COMPONENTS = r"""
+WITH RECURSIVE w AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(ws, i, i + 4), ' ') AS s
+       FROM w, unnest(generate_series(1, greatest(len(ws) - 4, 1))) AS t(i) WHERE len(ws) > 0),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+j AS (SELECT id_a, id_b
+      FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+      WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.5),
+e AS (SELECT id_a AS a, id_b AS b FROM j UNION SELECT id_b, id_a FROM j),
+reach(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+)
+SELECT a AS id, least(a, min(b)) AS component
+FROM reach GROUP BY a ORDER BY id
+"""
+
+
 def q_pii_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction under the driver gate: deterministic PII
     strings (email/phone/SSN/IPv4, keyed by doc_id mod 5) are appended to
@@ -1704,6 +1746,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "stratified_sample": (q_stratified_sample, _SQL_STRATIFIED_SAMPLE),
     "multimodal_real_decode": (q_multimodal_real_decode, _SQL_MULTIMODAL_REAL_DECODE),
     "pii_by_source": (q_pii_by_source, _SQL_PII_BY_SOURCE),
+    "near_dup_components": (q_near_dup_components, _SQL_NEAR_DUP_COMPONENTS),
     "multimodal_fake_decode": (q_multimodal_fake_decode, _SQL_MULTIMODAL_FAKE_DECODE),
     "apply_fixes_lineitem": (q_apply_fixes_lineitem, _SQL_APPLY_FIXES_LINEITEM),
 }

@@ -411,3 +411,43 @@ def test_shingle_hashes_match_string_gram_identity(spark):
             assert len(s[a] & s[b]) == len(h[a] & h[b]), (a, b)
     assert s[7] == set() and h[7] == set()
     assert h[4] == h[5] != h[6]
+
+
+def test_connected_components_and_cluster_dedup(spark):
+    """Label propagation finds transitive clusters: a chain whose ends never
+    pair directly still collapses to one component; aggressive keep-one
+    keeps exactly the component minimum plus all unpaired rows."""
+    from pandera_unified_validator_spark.operators.dedup import (
+        connected_components,
+        dedup_by_components,
+    )
+
+    # components: {1..5} as a path, {10,11}, {20,21,22} as a star on 21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (21, 20), (21, 22)],
+        "id_a long, id_b long",
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert {comp[i] for i in (1, 2, 3, 4, 5)} == {1}
+    assert comp[10] == comp[11] == 10
+    assert comp[20] == comp[21] == comp[22] == 20
+    assert len(comp) == 10  # only nodes that appear in pairs
+
+    df = spark.range(30).select(F.col("id").alias("doc_id"))
+    kept = {r["doc_id"] for r in dedup_by_components(df, pairs).collect()}
+    dropped = set(range(30)) - kept
+    assert dropped == {2, 3, 4, 5, 11, 21, 22}  # everything but each min + unpaired
+
+
+def test_connected_components_converges_on_long_chain(spark):
+    """A 40-node path needs ~log-diameter-ish rounds of min propagation;
+    the loop must converge (not hit max_iterations) and label every node
+    with the chain head."""
+    from pandera_unified_validator_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    comp = {r["id"]: r["component"] for r in
+            connected_components(pairs, max_iterations=50).collect()}
+    assert set(comp.values()) == {0} and len(comp) == 41
