@@ -99,7 +99,11 @@ def cmd_dedup(args) -> int:
     """Exact or MinHash near-dedup a corpus to parquet (keep-one)."""
     from pyspark.sql import functions as F
 
-    from .operators.dedup import dedup_exact, minhash_dedup_pairs
+    from .operators.dedup import (
+        dedup_by_components,
+        dedup_exact,
+        minhash_dedup_pairs,
+    )
     from .session import get_spark
 
     spark = get_spark("puv-cli")
@@ -113,10 +117,15 @@ def cmd_dedup(args) -> int:
             bands=args.bands,
             jaccard_threshold=args.threshold,
         )
-        # keep-one: drop every id that appears as the GREATER member of a
-        # pair (min-id representative survives its duplicate cluster)
-        losers = pairs.select(F.col("id_b").alias(args.id)).distinct()
-        out = df.join(losers, args.id, "left_anti")
+        if args.transitive:
+            # aggressive: connected components collapse chained clusters
+            out = dedup_by_components(df, pairs, args.id)
+        else:
+            # conservative keep-one: drop every id that appears as the
+            # GREATER member of a pair (each pair's min-id row survives;
+            # two docs never paired with each other both survive)
+            losers = pairs.select(F.col("id_b").alias(args.id)).distinct()
+            out = df.join(losers, args.id, "left_anti")
     else:
         cols = args.columns.split(",") if args.columns else [args.text]
         out = dedup_exact(df, cols, tiebreak=args.id)
@@ -195,6 +204,10 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--num-hashes", type=int, default=64, dest="num_hashes")
     d.add_argument("--bands", type=int, default=16)
     d.add_argument("--threshold", type=float, default=0.8)
+    d.add_argument(
+        "--transitive", action="store_true",
+        help="collapse chained near-dup clusters via connected components",
+    )
     d.set_defaults(fn=cmd_dedup)
 
     sm = sub.add_parser("sample", help="deterministic hash-threshold sample")
