@@ -25,6 +25,8 @@ __all__ = [
     "read_csv",
     "read_jsonl",
     "read_parquet",
+    "read_orc",
+    "read_text_corpus",
     "read_jdbc",
     "from_records",
     "with_cast_violations",
@@ -76,6 +78,44 @@ def read_parquet(spark: SparkSession, path: str, columns: Sequence[str] | None =
     ``columns`` is given (or via downstream select — Catalyst prunes)."""
     df = spark.read.parquet(path)
     return df.select(*columns) if columns else df
+
+
+def read_orc(spark: SparkSession, path: str, columns: Sequence[str] | None = None) -> DataFrame:
+    """ORC scan (native Spark source, same split/pruning/pushdown behavior
+    as parquet — stripes ≈ input splits). Included so ORC-resident corpora
+    feed the engine without a conversion hop."""
+    df = spark.read.orc(path)
+    return df.select(*columns) if columns else df
+
+
+def read_text_corpus(
+    spark: SparkSession,
+    path: str,
+    whole_files: bool = True,
+) -> DataFrame:
+    """Raw text-file corpus ingestion → (doc_id, text).
+
+    ``whole_files=True`` (the corpus case): one document per file,
+    ``doc_id`` = the file path (stable, unique, resumable — the same key
+    the lineage/partition-group loop uses). ``whole_files=False``: one row
+    per line with ``doc_id = path#<line-fingerprint>`` — NOT unique when a
+    file repeats a line verbatim (by design: identical lines ARE exact
+    duplicates; run ``dedup_exact`` next). Either way the result plugs
+    straight into the text/dedup/sampling operators."""
+    reader = spark.read.format("text")
+    if whole_files:
+        reader = reader.option("wholetext", True)
+    df = reader.load(path).select(
+        F.input_file_name().alias("__path"), F.col("value").alias("text")
+    )
+    if whole_files:
+        return df.select(F.col("__path").alias("doc_id"), "text")
+    return df.select(
+        F.concat_ws("#", F.col("__path"), F.xxhash64("text").cast("string")).alias(
+            "doc_id"
+        ),
+        "text",
+    )
 
 
 def read_jdbc(

@@ -289,3 +289,43 @@ def test_iceberg_snapshot_pinned_resume(spark, tmp_path, monkeypatch):
     )
     assert [g.resumed for g in r3.groups] == [False, False, False]
     assert r3.metrics.total_rows == 14 and r3.metrics.invalid_rows == 2
+
+
+def test_read_orc_roundtrip(spark, tmp_path):
+    from pandera_unified_validator_spark.sources.readers import read_orc
+
+    p = str(tmp_path / "orc")
+    spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", -3.0)], "id int, name string, value double"
+    ).write.orc(p)
+    df = read_orc(spark, p, columns=["id", "value"])
+    assert df.columns == ["id", "value"] and df.count() == 2
+    schema = SchemaBuilder("t").column("value", "float", ge=0.0).build()
+    rep = SparkValidator(schema).validate(read_orc(spark, p)).report
+    assert {c.name: c.n_failed for c in rep.checks}["value__ge"] == 1
+
+
+def test_read_text_corpus_modes(spark, tmp_path):
+    from pandera_unified_validator_spark.sources.readers import read_text_corpus
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_text("first doc body\nsecond line")
+    (d / "b.txt").write_text("another document")
+    whole = read_text_corpus(spark, str(d), whole_files=True).collect()
+    docs = {r["doc_id"].rsplit("/", 1)[-1]: r["text"] for r in whole}
+    assert docs["a.txt"] == "first doc body\nsecond line"
+    assert docs["b.txt"] == "another document"
+
+    lines = read_text_corpus(spark, str(d), whole_files=False).collect()
+    assert {r["text"] for r in lines} == {
+        "first doc body", "second line", "another document"
+    }
+    assert all("#" in r["doc_id"] for r in lines)
+    # doc ids feed the corpus operators directly
+    from pandera_unified_validator_spark.operators.text import repetition_scores
+
+    rep = repetition_scores(
+        read_text_corpus(spark, str(d)), "doc_id", "text", n=2
+    ).collect()
+    assert len(rep) == 2 and all(r["repetition_ratio"] == 0.0 for r in rep)
