@@ -94,6 +94,19 @@ class PartitionedValidationRunner:
         self.progress_callback = progress_callback
 
     # ----------------------------------------------------------- lineage --
+    def _schema_fingerprint(self) -> str:
+        """Content hash of the validation contract: the schema JSON plus the
+        referential-dimension column names. A lineage record from a
+        DIFFERENT contract must not satisfy resume — silently reusing
+        verdicts computed under an old schema would report stale results as
+        current (the input-files check alone cannot catch it)."""
+        import hashlib
+
+        basis = self.validator.schema.to_json() + "|" + ",".join(
+            sorted(self.validator.ref_checks)
+        )
+        return hashlib.sha256(basis.encode()).hexdigest()[:16]
+
     def _lineage_path(self, group_id: int) -> str:
         return os.path.join(self.checkpoint_dir, f"group-{group_id:06d}.json")
 
@@ -110,6 +123,8 @@ class PartitionedValidationRunner:
             return None  # torn/corrupt record → re-validate the group
         if d.get("files") != list(files):
             return None  # input changed under the checkpoint → re-validate
+        if d.get("schema_fp") != self._schema_fingerprint():
+            return None  # schema changed (or pre-fingerprint record) → re-validate
         return GroupResult(
             group_id=group_id,
             files=tuple(d["files"]),
@@ -127,7 +142,7 @@ class PartitionedValidationRunner:
         p = self._lineage_path(res.group_id)
         tmp = f"{p}.tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
-            json.dump(res.to_dict(), f)
+            json.dump({**res.to_dict(), "schema_fp": self._schema_fingerprint()}, f)
         os.replace(tmp, p)  # atomic on POSIX — a killed job never leaves a torn record
 
     def lineage_df(self, spark: SparkSession):

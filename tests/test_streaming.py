@@ -329,3 +329,37 @@ def test_read_text_corpus_modes(spark, tmp_path):
         read_text_corpus(spark, str(d)), "doc_id", "text", n=2
     ).collect()
     assert len(rep) == 2 and all(r["repetition_ratio"] == 0.0 for r in rep)
+
+
+def test_resume_invalidated_by_schema_change(spark, tmp_path):
+    """Lineage records carry a schema fingerprint: resuming with a CHANGED
+    validation contract re-validates every group instead of silently
+    reusing verdicts computed under the old schema; resuming with the same
+    contract still skips."""
+    src = str(tmp_path / "rows")
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "id int, value double"
+    ).coalesce(2).write.parquet(src)
+    ckpt = str(tmp_path / "ck")
+
+    loose = SchemaBuilder("t").column("value", "float", ge=0.0).build()
+    r1 = PartitionedValidationRunner(
+        SparkValidator(loose), checkpoint_dir=ckpt, error_threshold=None
+    ).run(spark, src)
+    assert r1.metrics.invalid_rows == 0
+    assert all(not g.resumed for g in r1.groups)
+
+    # tightened contract: ge=10 fails half the rows — a stale resume would
+    # keep reporting 0 invalid
+    tight = SchemaBuilder("t").column("value", "float", ge=10.0).build()
+    r2 = PartitionedValidationRunner(
+        SparkValidator(tight), checkpoint_dir=ckpt, error_threshold=None
+    ).run(spark, src)
+    assert all(not g.resumed for g in r2.groups)      # fingerprint mismatch
+    assert r2.metrics.invalid_rows == 10
+
+    r3 = PartitionedValidationRunner(
+        SparkValidator(tight), checkpoint_dir=ckpt, error_threshold=None
+    ).run(spark, src)
+    assert all(g.resumed for g in r3.groups)          # same contract resumes
+    assert r3.metrics.invalid_rows == 10
