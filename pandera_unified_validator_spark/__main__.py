@@ -16,17 +16,29 @@ import sys
 
 
 def _read_any(spark, path: str, fmt: str | None):
-    from .sources.readers import read_csv, read_jsonl, read_parquet
+    from .sources.readers import (
+        read_csv,
+        read_jsonl,
+        read_orc,
+        read_parquet,
+        read_text_corpus,
+    )
 
     fmt = fmt or (
         "csv" if path.endswith(".csv")
         else "jsonl" if path.endswith((".jsonl", ".json"))
+        else "orc" if path.endswith(".orc")
+        else "text" if path.endswith(".txt")
         else "parquet"
     )
     if fmt == "csv":
         return read_csv(spark, path, header=True, inferSchema=True)
     if fmt == "jsonl":
         return read_jsonl(spark, path)
+    if fmt == "orc":
+        return read_orc(spark, path)
+    if fmt == "text":
+        return read_text_corpus(spark, path)
     return read_parquet(spark, path)
 
 
@@ -172,7 +184,7 @@ def main(argv: list[str] | None = None) -> int:
     v = sub.add_parser("validate", help="validate data against a schema JSON")
     v.add_argument("data")
     v.add_argument("--schema", required=True)
-    v.add_argument("--format", choices=["csv", "jsonl", "parquet"])
+    v.add_argument("--format", choices=["csv", "jsonl", "parquet", "orc", "text"])
     v.add_argument("--key", help="comma-separated key columns for violations")
     v.add_argument("--output", help="report path (.json or .html)")
     v.add_argument("--violations", help="violation-rows parquet path")
@@ -181,14 +193,14 @@ def main(argv: list[str] | None = None) -> int:
 
     pr = sub.add_parser("profile", help="profile a dataset")
     pr.add_argument("data")
-    pr.add_argument("--format", choices=["csv", "jsonl", "parquet"])
+    pr.add_argument("--format", choices=["csv", "jsonl", "parquet", "orc", "text"])
     pr.add_argument("--output")
     pr.add_argument("--exact", action="store_true", help="exact quantiles/distinct")
     pr.set_defaults(fn=cmd_profile)
 
     s = sub.add_parser("schema", help="infer a validation schema from data")
     s.add_argument("data")
-    s.add_argument("--format", choices=["csv", "jsonl", "parquet"])
+    s.add_argument("--format", choices=["csv", "jsonl", "parquet", "orc", "text"])
     s.add_argument("--output")
     s.add_argument("--exact", action="store_true")
     s.set_defaults(fn=cmd_schema)
@@ -196,7 +208,7 @@ def main(argv: list[str] | None = None) -> int:
     d = sub.add_parser("dedup", help="exact or MinHash near-dedup to parquet")
     d.add_argument("data")
     d.add_argument("--output", required=True)
-    d.add_argument("--format", choices=["csv", "jsonl", "parquet"])
+    d.add_argument("--format", choices=["csv", "jsonl", "parquet", "orc", "text"])
     d.add_argument("--id", default="doc_id")
     d.add_argument("--text", default="text")
     d.add_argument("--columns", help="exact-dedup key columns (default: --text)")
@@ -213,7 +225,7 @@ def main(argv: list[str] | None = None) -> int:
     sm = sub.add_parser("sample", help="deterministic hash-threshold sample")
     sm.add_argument("data")
     sm.add_argument("--output", required=True)
-    sm.add_argument("--format", choices=["csv", "jsonl", "parquet"])
+    sm.add_argument("--format", choices=["csv", "jsonl", "parquet", "orc", "text"])
     sm.add_argument("--key", default="doc_id")
     sm.add_argument("--fraction", type=float, default=0.1)
     sm.add_argument("--seed", type=int, default=42)

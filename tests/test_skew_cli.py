@@ -137,3 +137,17 @@ def test_cli_dedup_and_sample(spark, tmp_path):
           samp.groupBy("source").agg(F.count("*").alias("n")).collect()}
     assert by["s1"] == 21                          # whole stratum kept
     assert 0 < by.get("s2", 0) < 20                # ~half
+
+
+def test_cli_text_corpus_dedup(spark, tmp_path):
+    d = tmp_path / "txt"
+    d.mkdir()
+    (d / "a.txt").write_text("the same document body here")
+    (d / "b.txt").write_text("the same document body here")
+    (d / "c.txt").write_text("a different document entirely")
+    out = str(tmp_path / "out")
+    r = run_cli("dedup", str(d), "--format", "text", "--output", out,
+                "--columns", "text", "--id", "doc_id")
+    assert r.returncode == 0, r.stderr[-2000:]
+    kept = spark.read.parquet(out)
+    assert kept.count() == 2  # the two identical files collapse to one
