@@ -160,3 +160,52 @@ def test_cross_batch_unique_monitor(spark, tmp_path):
     for r in rows:
         flagged.update(r["flagged"])
     assert flagged == {"k5", "k6", "k7", "k8", "k9", "k100"}
+
+
+def test_windowed_validation_drops_late_data(spark, tmp_path):
+    """Watermark semantics end-to-end: once the watermark passes a window's
+    end, a late event for that window is DROPPED — the closed window's
+    emitted counts exclude it (append mode only emits closed windows)."""
+    from pandera_unified_validator_spark.streaming.structured import (
+        windowed_error_rates,
+    )
+
+    src = str(tmp_path / "late_src")
+    # batch 1: three in-window events + one far-future event that advances
+    # the max event time to 100s (watermark -> 90s, closing window [0,10))
+    spark.createDataFrame(
+        [(0.0, 1.0), (3.0, -1.0), (5.0, 2.0), (100.0, 1.0)],
+        "sec double, value double",
+    ).selectExpr("timestamp_seconds(sec) AS ts", "value").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    schema = SchemaBuilder("s").column("value", "float", ge=0.0).build()
+    stream = spark.readStream.schema("ts timestamp, value double").parquet(src)
+    out = windowed_error_rates(
+        stream, SparkValidator(schema), "ts",
+        window="10 seconds", watermark="10 seconds",
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_out")
+        .option("checkpointLocation", str(tmp_path / "late_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()          # batch 1 only: watermark advances to 90s
+    # the LATE event arrives in a strictly later batch
+    spark.createDataFrame(
+        [(4.0, -9.0)], "sec double, value double"
+    ).selectExpr("timestamp_seconds(sec) AS ts", "value").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql(
+        "SELECT window.start AS ws, n_rows, n_invalid FROM late_out"
+    ).collect()
+    emitted = {int(r["ws"].timestamp()): (r["n_rows"], r["n_invalid"]) for r in rows}
+    # only [0,10) closed; its counts are batch 1's three events — the late
+    # value=-9.0 would have made n_invalid 2 if it had leaked in
+    assert emitted == {0: (3, 1)}
