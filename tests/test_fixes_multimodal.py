@@ -264,3 +264,47 @@ def test_png_grayscale_and_tiny_edges():
         a = rng.randint(0, 256, shape, dtype=np.uint8)
         for ft in range(5):
             assert (decode_png(encode_png(a, ft)) == a).all(), (shape, ft)
+
+
+def test_bmp_topdown_and_wav_roundtrip_properties():
+    """Pure-codec branches: a hand-built TOP-DOWN BMP (negative height —
+    our encoder only writes bottom-up) decodes to the right orientation;
+    WAV round-trips arbitrary int16 content and averages stereo to mono."""
+    import struct
+
+    import numpy as np
+
+    from pandera_unified_validator_spark.operators.multimodal import (
+        decode_bmp,
+        decode_wav,
+        encode_bmp,
+        encode_wav,
+    )
+
+    rng = np.random.RandomState(13)
+    a = rng.randint(0, 256, (3, 2, 3), dtype=np.uint8)
+    # top-down variant: rows in natural order, height negative in the header
+    row = 2 * 3
+    pad = (4 - row % 4) % 4
+    body = b"".join(a[y, :, ::-1].tobytes() + b"\x00" * pad for y in range(3))
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, -3, 1, 24, 0, len(body), 0, 0, 0, 0)
+    assert (decode_bmp(hdr + info + body) == a).all()
+    # and bottom-up round trip for the same pixels agrees
+    assert (decode_bmp(encode_bmp(a)) == a).all()
+
+    for n in (0, 1, 7, 1000):
+        s = rng.randint(-32768, 32768, n).astype("<i2")
+        x, rate = decode_wav(encode_wav(s, 22050))
+        assert rate == 22050 and len(x) == n
+        assert np.allclose(x * 32768.0, s, atol=0.5)
+    # stereo (hand-built fmt with 2 channels) averages to mono
+    inter = np.array([100, 200, -40, -60], dtype="<i2")  # L,R,L,R
+    raw = inter.tobytes()
+    wav = (
+        struct.pack("<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(raw), b"WAVE",
+                    b"fmt ", 16, 1, 2, 8000, 32000, 4, 16, b"data", len(raw))
+        + raw
+    )
+    x, rate = decode_wav(wav)
+    assert np.allclose(x * 32768.0, [150.0, -50.0])
