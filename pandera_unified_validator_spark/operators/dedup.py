@@ -654,21 +654,32 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 25,
+    strict: bool = False,
 ) -> DataFrame:
     """Connected components of the near-dup pair graph → (id, component),
     component = the MINIMUM id in each component. This is the transitive
     closure step of aggressive keep-one dedup: pairs (a,b),(b,c) put a, b
     and c in one cluster even though a and c never paired directly.
 
-    Distributed min-label propagation: every node starts as its own label;
-    each round joins labels across edges (both directions) and takes the
-    per-node minimum; convergence = a round that changes no label (checked
-    with a count aggregate, so the loop is O(component diameter) rounds —
-    near-dup clusters are shallow, typically 2-4). Each round's labels are
-    ``localCheckpoint``-ed: iterative self-joins otherwise grow the plan
+    Distributed min-label propagation WITH pointer doubling: every node
+    starts as its own label; each round (a) pulls the minimum label across
+    edges (both directions) and (b) shortcuts ``component :=
+    component[component]`` — the label table joined to itself — so a label
+    hops along a path geometrically instead of one edge per round.
+    Convergence is therefore **O(log diameter)** rounds (a 1000-node chain
+    finishes in ~10 rounds, where plain one-hop propagation needed 1000 —
+    the round-4 shape silently mislabeled any component whose min-label
+    distance exceeded ``max_iterations``). Convergence = a round that
+    changes no label, checked with one count aggregate. Each round's labels
+    are ``localCheckpoint``-ed: iterative self-joins otherwise grow the plan
     lineage exponentially, which at corpus scale kills the driver before
-    the executors do. Isolated nodes never appear in ``pairs`` and are
-    their own (absent) component — callers treat missing ids as unique."""
+    the executors do.
+
+    If the loop still exhausts ``max_iterations`` with labels changing
+    (diameter > ~2^max_iterations — not reachable in practice), the result
+    would UNDER-merge, so it warns loudly, or raises when ``strict=True``.
+    Isolated nodes never appear in ``pairs`` and are their own (absent)
+    component — callers treat missing ids as unique."""
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -679,23 +690,40 @@ def connected_components(
         "component", F.col("id")
     )
     labels = labels.localCheckpoint()
+    changed = 0
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src")
             .agg(F.min("component").alias("__nmin"))
         )
-        updated = (
+        hop = (
             labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
             .select(
                 "id",
+                F.col("component").alias("__prev"),
                 F.least(
                     F.col("component"), F.coalesce(F.col("__nmin"), F.col("component"))
-                ).alias("component"),
-                (F.coalesce(F.col("__nmin"), F.col("component")) < F.col("component"))
-                .cast("long")
-                .alias("__changed"),
+                ).alias("__c1"),
             )
+        )
+        # pointer doubling: component := component[component]. Labels only
+        # ever decrease and every label IS a node id present in the table,
+        # so label[label] ≤ label; the left join + coalesce is pure safety.
+        lab2 = hop.select(F.col("id").alias("__cid"), F.col("__c1").alias("__cc"))
+        updated = (
+            hop.join(lab2, hop["__c1"] == lab2["__cid"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("__c1"), F.coalesce(F.col("__cc"), F.col("__c1"))
+                ).alias("component"),
+                F.col("__prev"),
+            )
+            .withColumn(
+                "__changed", (F.col("component") < F.col("__prev")).cast("long")
+            )
+            .drop("__prev")
         )
         updated = updated.localCheckpoint()
         changed = updated.agg(F.sum("__changed")).collect()[0][0] or 0
@@ -703,6 +731,16 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist(blocking=False)
+    if changed:
+        msg = (
+            f"connected_components exhausted max_iterations={max_iterations} "
+            f"with {changed} label(s) still changing — components are "
+            "UNDER-merged (dedup_by_components would keep extra duplicates); "
+            "raise max_iterations (rounds needed ≈ log2(component diameter))"
+        )
+        if strict:
+            raise RuntimeError(msg)
+        _LOG.warning(msg)
     return labels
 
 
@@ -712,13 +750,16 @@ def dedup_by_components(
     id_col: str = "doc_id",
     id_a: str = "id_a",
     id_b: str = "id_b",
+    max_iterations: int = 25,
+    strict: bool = False,
 ) -> DataFrame:
     """Aggressive keep-one dedup: keep each cluster's minimum-id row (and
     every row that appears in no pair). One broadcast-friendly anti-join:
     the drop set is exactly the nodes whose component label differs from
     their id — tiny relative to the corpus, like the dup-key set in the
-    uniqueness check."""
-    comp = connected_components(pairs, id_a, id_b)
+    uniqueness check. ``strict=True`` raises instead of warning if the
+    component loop fails to converge (would otherwise under-delete)."""
+    comp = connected_components(pairs, id_a, id_b, max_iterations, strict)
     losers = comp.filter(F.col("component") != F.col("id")).select(
         F.col("id").alias(id_col)
     )

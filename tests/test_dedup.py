@@ -440,14 +440,35 @@ def test_connected_components_and_cluster_dedup(spark):
 
 
 def test_connected_components_converges_on_long_chain(spark):
-    """A 40-node path needs ~log-diameter-ish rounds of min propagation;
-    the loop must converge (not hit max_iterations) and label every node
-    with the chain head."""
+    """Pointer doubling makes convergence O(log diameter): a 200-node path
+    (diameter 200) must converge WITHIN the default max_iterations=25
+    (needs ~log2(200) ≈ 8 rounds; the round-4 one-hop shape needed 200 and
+    silently returned wrong labels) and label every node with the head."""
     from pandera_unified_validator_spark.operators.dedup import connected_components
 
     pairs = spark.createDataFrame(
-        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+        [(i, i + 1) for i in range(200)], "id_a long, id_b long"
     )
-    comp = {r["id"]: r["component"] for r in
-            connected_components(pairs, max_iterations=50).collect()}
-    assert set(comp.values()) == {0} and len(comp) == 41
+    comp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert set(comp.values()) == {0} and len(comp) == 201
+
+
+def test_connected_components_warns_on_non_convergence(spark, caplog):
+    """Exhausting max_iterations with labels still moving must be LOUD:
+    a warning on the default path, a raise under strict=True — silent
+    under-merging means dedup_by_components keeps duplicate rows while
+    reporting success."""
+    import pytest
+
+    from pandera_unified_validator_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    with caplog.at_level("WARNING", logger="pandera_unified_validator_spark"):
+        comp = {r["id"]: r["component"] for r in
+                connected_components(pairs, max_iterations=1).collect()}
+    assert len(set(comp.values())) > 1  # genuinely under-merged
+    assert any("UNDER-merged" in rec.message for rec in caplog.records)
+    with pytest.raises(RuntimeError, match="UNDER-merged"):
+        connected_components(pairs, max_iterations=1, strict=True)
