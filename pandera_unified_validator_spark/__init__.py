@@ -34,6 +34,7 @@ from .operators.profiler import DataProfiler, ProfileReport
 from .operators.drift import DriftReport, compare_profiles, numeric_drift, token_frequency_drift
 from .streaming.runner import PartitionedValidationRunner, StreamingResult
 from .session import get_spark
+from .utils.cache import operator_cache_scope, release_operator_caches
 from .utils.logging_config import configure_logging, get_logger
 
 __version__ = "0.1.0"
@@ -64,4 +65,6 @@ __all__ = [
     "StreamingResult",
     "configure_logging",
     "get_logger",
+    "operator_cache_scope",
+    "release_operator_caches",
 ]

@@ -118,31 +118,38 @@ def cmd_dedup(args) -> int:
     )
     from .session import get_spark
 
+    from .utils.cache import operator_cache_scope
+
     spark = get_spark("puv-cli")
     df = _read_any(spark, args.data, args.format)
-    if args.near:
-        pairs = minhash_dedup_pairs(
-            df,
-            args.id,
-            args.text,
-            num_hashes=args.num_hashes,
-            bands=args.bands,
-            jaccard_threshold=args.threshold,
-        )
-        if args.transitive:
-            # aggressive: connected components collapse chained clusters
-            out = dedup_by_components(df, pairs, args.id)
+    # write FIRST, count the written parquet after: counting the plan and
+    # then writing it would run the whole near-dup pipeline (LSH joins, and
+    # for --transitive the iterative component loop) twice
+    with operator_cache_scope():  # pipeline caches released after the write
+        if args.near:
+            pairs = minhash_dedup_pairs(
+                df,
+                args.id,
+                args.text,
+                num_hashes=args.num_hashes,
+                bands=args.bands,
+                jaccard_threshold=args.threshold,
+            )
+            if args.transitive:
+                # aggressive: connected components collapse chained clusters
+                out = dedup_by_components(df, pairs, args.id)
+            else:
+                # conservative keep-one: drop every id that appears as the
+                # GREATER member of a pair (each pair's min-id row survives;
+                # two docs never paired with each other both survive)
+                losers = pairs.select(F.col("id_b").alias(args.id)).distinct()
+                out = df.join(losers, args.id, "left_anti")
         else:
-            # conservative keep-one: drop every id that appears as the
-            # GREATER member of a pair (each pair's min-id row survives;
-            # two docs never paired with each other both survive)
-            losers = pairs.select(F.col("id_b").alias(args.id)).distinct()
-            out = df.join(losers, args.id, "left_anti")
-    else:
-        cols = args.columns.split(",") if args.columns else [args.text]
-        out = dedup_exact(df, cols, tiebreak=args.id)
-    before, after = df.count(), out.count()
-    out.write.mode("overwrite").parquet(args.output)
+            cols = args.columns.split(",") if args.columns else [args.text]
+            out = dedup_exact(df, cols, tiebreak=args.id)
+        out.write.mode("overwrite").parquet(args.output)
+    before = df.count()
+    after = spark.read.parquet(args.output).count()
     print(f"kept {after:,}/{before:,} rows -> {args.output}")
     return 0
 

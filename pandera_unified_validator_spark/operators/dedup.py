@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from .text import _gram_hashes, shingle_hashes, words
 from ..functions.vectors import hyperplane_signature2_udf, hyperplane_signature_udf
+from ..utils.cache import registry as _cache
 
 _LOG = logging.getLogger(__name__)
 
@@ -272,11 +273,16 @@ def minhash_dedup_pairs(
     joins ship fixed-width longs instead of rebuilding (and shuffling) string
     shingles — exact Jaccard over the hash sets equals Jaccard over shingles
     up to 64-bit collisions (~n_shingles²/2⁶⁵, vanishing). The persisted
-    table is the one materialized signature store a 10^12-doc run would keep."""
+    table is the one materialized signature store a 10^12-doc run would keep —
+    tracked by ``utils.cache.registry`` (budgeted; wrap pipeline steps in
+    ``operator_cache_scope()`` to release it once the result is written)."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures_df(
-        df, id_col, text_col, num_hashes, shingle_k, include_shingle_hashes=True
-    ).persist()
+    sigs = _cache.persist(
+        minhash_signatures_df(
+            df, id_col, text_col, num_hashes, shingle_k, include_shingle_hashes=True
+        ),
+        "minhash_dedup_pairs.signatures",
+    )
     cand = lsh_candidate_pairs(sigs, id_col, "__sig", bands, rows_per_band)
     sh = sigs.select(F.col(id_col), F.col("__shh"))
     return (
@@ -510,8 +516,9 @@ def embedding_near_dup_pairs(
         # to disk at scale — the same materialize-once a 10^12-doc run would
         # do; minhash_dedup_pairs persists its signature store likewise), so
         # hot detection below and the pair shuffle both read the cache
-        # instead of re-running the Arrow transfer
-        tagged = tagged.persist()
+        # instead of re-running the Arrow transfer. Tracked + budgeted via
+        # the operator-cache registry (release with operator_cache_scope()).
+        tagged = _cache.persist(tagged, "embedding_near_dup_pairs.tagged")
         # hot-bucket detection: map-side combine means ≤ 2^n_bits rows per
         # partition cross this shuffle; the collected set is ≤ 2^n_bits ids
         hot = [
@@ -649,6 +656,20 @@ def contamination_flags(
 
 
 # ------------------------------------------------- connected components ----
+def _persistent_rdd_ids(sc) -> set[int]:
+    """Ids of currently persisted RDDs (includes localCheckpoint storage,
+    which bypasses the SQL CacheManager)."""
+    return {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+
+def _unpersist_rdds(sc, ids) -> None:
+    jmap = sc._jsc.getPersistentRDDs()
+    for rid in ids:
+        jrdd = jmap.get(rid)
+        if jrdd is not None:
+            jrdd.unpersist(False)
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -680,16 +701,29 @@ def connected_components(
     would UNDER-merge, so it warns loudly, or raises when ``strict=True``.
     Isolated nodes never appear in ``pairs`` and are their own (absent)
     component — callers treat missing ids as unique."""
-    edges = (
+    edges = _cache.persist(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .distinct()
-        .persist()
+        .distinct(),
+        "connected_components.edges",
     )
+    # Each round's labels are localCheckpoint-ed (lineage truncation), and
+    # checkpoint storage bypasses the SQL CacheManager — without explicit
+    # frees every round's label RDD stays persisted for the session's life.
+    # The previous round's checkpoint is freed as soon as the next round's
+    # is materialized (eager); the FINAL one backs the returned DataFrame,
+    # so it is registered with the operator-cache registry (released by
+    # operator_cache_scope() exit / release_operator_caches(), and never
+    # budget-evicted: truncated lineage cannot recompute). Checkpoint ids
+    # are attributed by diffing the persistent-RDD set around the eager
+    # checkpoint — safe for the single-driver operator usage this targets.
+    sc = pairs.sparkSession.sparkContext
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "component", F.col("id")
     )
+    before = _persistent_rdd_ids(sc)
     labels = labels.localCheckpoint()
+    ckpt_ids = _persistent_rdd_ids(sc) - before
     changed = 0
     for _ in range(max_iterations):
         neighbor_min = (
@@ -725,12 +759,21 @@ def connected_components(
             )
             .drop("__prev")
         )
+        before = _persistent_rdd_ids(sc)
         updated = updated.localCheckpoint()
+        new_ids = _persistent_rdd_ids(sc) - before
+        _unpersist_rdds(sc, ckpt_ids)  # previous round: superseded
+        ckpt_ids = new_ids
         changed = updated.agg(F.sum("__changed")).collect()[0][0] or 0
         labels = updated.drop("__changed")
         if changed == 0:
             break
-    edges.unpersist(blocking=False)
+    _cache.release(edges)  # labels are checkpointed; edges no longer needed
+    _cache.register_release(
+        "connected_components.labels",
+        lambda ids=frozenset(ckpt_ids): _unpersist_rdds(sc, ids),
+        obj=labels,
+    )
     if changed:
         msg = (
             f"connected_components exhausted max_iterations={max_iterations} "

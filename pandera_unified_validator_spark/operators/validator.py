@@ -42,6 +42,7 @@ from ..plans.compiler import (
     dtype_errors,
 )
 from ..plans.schema import ValidationSchema
+from ..utils.cache import registry as _cache
 from ..utils.reporting import CheckResult, ValidationReport
 
 __all__ = ["SparkValidator", "ValidationResult", "ValidationFailedError", "FLAG_PREFIX"]
@@ -223,7 +224,7 @@ class SparkValidator:
         self.unique_join_plan = {}
         self.warnings = []
         for cached in self._persisted:
-            cached.unpersist(blocking=False)
+            _cache.release(cached)
         self._persisted = []
         annotated = df.withColumn(_PID, F.spark_partition_id())
 
@@ -278,12 +279,12 @@ class SparkValidator:
                     # shape with no extra input scan (round 3's separate
                     # approx_count_distinct estimate job was a third scan:
                     # +64% check_unique wall)
-                    dup_keys = (
+                    dup_keys = _cache.persist(
                         nn.groupBy(col)
                         .agg(F.count(F.lit(1)).alias("__dup_n"))
                         .filter(F.col("__dup_n") > 1)
-                        .select(F.col(col).alias("__dup_key"))
-                        .persist()
+                        .select(F.col(col).alias("__dup_key")),
+                        f"SparkValidator.dup_keys.{g.name}",
                     )
                     self._persisted.append(dup_keys)
                     use_broadcast = dup_keys.count() <= self.broadcast_dup_limit

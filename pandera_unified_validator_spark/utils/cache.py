@@ -1,0 +1,179 @@
+"""Operator-cache lifecycle: every ``persist()`` an operator issues is
+tracked, budgeted, and releasable.
+
+Why this exists (round-5 verdict item #1): corpus operators materialize
+intermediate stores so two downstream consumers share one evaluation —
+``minhash_dedup_pairs`` persists its signature table (the count of hash
+evaluations is the point), ``embedding_near_dup_pairs`` its tagged corpus,
+``SparkValidator`` auto-tier-2 its dup-key set. Correct for a one-shot job
+(executor exit frees everything), but a long-lived session running many
+corpus operators accretes cached plans until Spark's LRU evicts *working
+set* data instead — the classic slow-degradation failure of a 100 TB
+pipeline driver that stays up for days.
+
+Design: a tiny registry, not a cache manager. Operators route their
+persist through ``registry.persist(df, label)``; the registry
+
+* keeps insertion order and **evicts the oldest** entry beyond
+  ``max_entries`` (unpersist only drops the materialization — Spark
+  recomputes on next access, so eviction is always safe, merely slower);
+* offers ``release(df)`` / ``release_all()`` for deterministic frees;
+* offers ``operator_cache_scope()`` — a context manager that releases
+  every cache registered inside the block on exit, the
+  materialize-and-release idiom for pipeline steps::
+
+      with operator_cache_scope():
+          pairs = minhash_dedup_pairs(docs)
+          pairs.write.parquet(out)        # consumes the cached signatures
+      # signature store unpersisted here; executors hold no stale plans
+
+Scopes nest; an inner scope releases only its own registrations. The
+module-level ``registry`` is process-global (one driver = one budget),
+mirroring how SparkContext itself is a singleton.
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+from contextlib import contextmanager
+from dataclasses import dataclass, field
+from typing import Any, Callable, Iterator
+
+from pyspark.sql import DataFrame
+
+__all__ = [
+    "OperatorCacheRegistry",
+    "registry",
+    "operator_cache_scope",
+    "release_operator_caches",
+]
+
+_LOG = logging.getLogger(__name__)
+
+
+@dataclass
+class _Entry:
+    label: str
+    release_fn: Callable[[], None]
+    obj: Any = None          # identity handle for release(df)
+    # localCheckpoint-backed entries have TRUNCATED lineage: unpersisting
+    # destroys them (no recompute), so the budget must never evict them —
+    # only explicit release / scope exit may.
+    evictable: bool = True
+    released: bool = field(default=False, compare=False)
+
+    def release(self) -> None:
+        if not self.released:
+            self.released = True
+            try:
+                self.release_fn()
+            except Exception:  # pragma: no cover - session already stopped
+                _LOG.debug("release of operator cache %r failed", self.label)
+
+
+class OperatorCacheRegistry:
+    """Tracks operator-level persisted DataFrames (and checkpoint RDDs);
+    bounds how many evictable caches stay materialized at once. Thread-safe
+    (streaming callbacks may persist from listener threads)."""
+
+    def __init__(self, max_entries: int = 8) -> None:
+        if max_entries < 1:
+            raise ValueError("max_entries must be >= 1")
+        self.max_entries = max_entries
+        self._lock = threading.Lock()
+        self._entries: list[_Entry] = []          # insertion-ordered
+        # stack of scope marker lists; each holds the entries made in-scope
+        self._scopes: list[list[_Entry]] = []
+
+    # ------------------------------------------------------------------ #
+    def _track(self, entry: _Entry) -> None:
+        evicted: list[_Entry] = []
+        with self._lock:
+            self._entries.append(entry)
+            if self._scopes:
+                self._scopes[-1].append(entry)
+            n_evictable = sum(e.evictable for e in self._entries)
+            if n_evictable > self.max_entries:
+                for e in self._entries:
+                    if e.evictable and n_evictable > self.max_entries:
+                        evicted.append(e)
+                        n_evictable -= 1
+                self._entries = [e for e in self._entries if e not in evicted]
+        for old in evicted:
+            _LOG.warning(
+                "operator cache budget (%d) exceeded: unpersisting oldest "
+                "entry %r — its consumers will recompute; raise "
+                "registry.max_entries or release caches explicitly",
+                self.max_entries,
+                old.label,
+            )
+            old.release()
+
+    def persist(self, df: DataFrame, label: str) -> DataFrame:
+        """``df.persist()`` + track. Oldest evictable entry beyond the
+        budget is unpersisted (its consumers recompute — safe, logged)."""
+        df.persist()
+        self._track(
+            _Entry(label, lambda: df.unpersist(blocking=False), obj=df)
+        )
+        return df
+
+    def register_release(
+        self, label: str, release_fn: Callable[[], None], obj: Any = None
+    ) -> None:
+        """Track an externally-materialized store (e.g. a localCheckpoint
+        RDD) so scope exit / release_all frees it. NOT budget-evictable:
+        checkpointed lineage cannot recompute after release."""
+        self._track(_Entry(label, release_fn, obj=obj, evictable=False))
+
+    def release(self, obj: Any) -> None:
+        """Release one tracked entry by identity (no-op if not tracked)."""
+        with self._lock:
+            hit = [e for e in self._entries if e.obj is obj]
+            self._entries = [e for e in self._entries if e.obj is not obj]
+        for e in hit:
+            e.release()
+
+    def release_all(self) -> None:
+        with self._lock:
+            entries, self._entries = self._entries, []
+        for e in entries:
+            e.release()
+
+    def labels(self) -> list[str]:
+        with self._lock:
+            return [e.label for e in self._entries]
+
+    # ------------------------------------------------------------------ #
+    def _scope_enter(self) -> None:
+        with self._lock:
+            self._scopes.append([])
+
+    def _scope_exit(self) -> None:
+        with self._lock:
+            mine = self._scopes.pop()
+            mine_set = {id(e) for e in mine}
+            self._entries = [e for e in self._entries if id(e) not in mine_set]
+        for e in mine:
+            e.release()
+
+
+registry = OperatorCacheRegistry()
+
+
+@contextmanager
+def operator_cache_scope() -> Iterator[OperatorCacheRegistry]:
+    """Release every operator cache registered inside the block on exit —
+    materialize the results you need (write/collect) BEFORE leaving the
+    scope, or they recompute."""
+    registry._scope_enter()
+    try:
+        yield registry
+    finally:
+        registry._scope_exit()
+
+
+def release_operator_caches() -> None:
+    """Unpersist every tracked operator cache (module-level convenience)."""
+    registry.release_all()

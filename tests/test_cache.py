@@ -1,0 +1,93 @@
+"""Operator-cache lifecycle (utils/cache.py): persists are tracked,
+budgeted, and released — the round-5 fix for long-lived sessions accreting
+cached plans until executors evict working-set data."""
+
+import pyspark
+from pyspark.sql import functions as F
+
+from pandera_unified_validator_spark.utils.cache import (
+    OperatorCacheRegistry,
+    operator_cache_scope,
+    registry,
+)
+
+NONE_LEVEL = pyspark.StorageLevel.NONE
+
+
+def _is_cached(df) -> bool:
+    return df.storageLevel != NONE_LEVEL
+
+
+def test_registry_budget_evicts_oldest(spark):
+    reg = OperatorCacheRegistry(max_entries=2)
+    a = reg.persist(spark.range(5), "a")
+    b = reg.persist(spark.range(6), "b")
+    c = reg.persist(spark.range(7), "c")
+    assert reg.labels() == ["b", "c"]
+    assert not _is_cached(a) and _is_cached(b) and _is_cached(c)
+    reg.release_all()
+    assert not _is_cached(b) and not _is_cached(c)
+    assert reg.labels() == []
+
+
+def test_release_single_entry(spark):
+    reg = OperatorCacheRegistry()
+    a = reg.persist(spark.range(5), "a")
+    b = reg.persist(spark.range(6), "b")
+    reg.release(a)
+    assert reg.labels() == ["b"]
+    assert not _is_cached(a) and _is_cached(b)
+    reg.release_all()
+
+
+def test_scope_releases_only_inner_registrations(spark):
+    outer = registry.persist(spark.range(9), "outer")
+    try:
+        with operator_cache_scope():
+            inner = registry.persist(spark.range(10), "inner")
+            assert _is_cached(inner)
+        assert not _is_cached(inner)
+        assert _is_cached(outer)
+        assert "outer" in registry.labels() and "inner" not in registry.labels()
+    finally:
+        registry.release_all()
+
+
+def test_minhash_caches_released_after_scope(spark):
+    """The verdict's done-condition: after a pipeline step materializes its
+    result inside operator_cache_scope(), the operator-level caches
+    (signature store, CC edges) are GONE from the session."""
+    from pandera_unified_validator_spark.operators.dedup import (
+        dedup_by_components,
+        minhash_dedup_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog wearing a tall hat "
+    rows = [(i, base + f"tail {i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    registry.release_all()
+    with operator_cache_scope():
+        pairs = minhash_dedup_pairs(df, jaccard_threshold=0.5)
+        kept = dedup_by_components(df, pairs).collect()  # materialize inside
+        assert 0 < len(kept) <= 30
+    assert registry.labels() == []
+    # nothing from the pipeline left materialized in the session
+    jsc = spark.sparkContext._jsc.sc()
+    cached_rdds = jsc.getPersistentRDDs()
+    assert cached_rdds.size() == 0, cached_rdds
+
+
+def test_embedding_cache_released_after_scope(spark):
+    from pandera_unified_validator_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    rows = [(i, [float((i * 7 + j) % 5) + 1.0 for j in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    registry.release_all()
+    with operator_cache_scope():
+        out = embedding_near_dup_pairs(
+            df, threshold=0.99, n_bits=4, max_bucket_rows=8
+        ).collect()
+        assert isinstance(out, list)
+    assert registry.labels() == []
