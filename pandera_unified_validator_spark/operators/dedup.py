@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from .text import _gram_hashes, shingle_hashes, words
 from ..functions.vectors import hyperplane_signature2_udf, hyperplane_signature_udf
+from ..plans.stats import plan_size_bytes as _plan_size_bytes
 from ..utils.cache import registry as _cache
 
 _LOG = logging.getLogger(__name__)
@@ -487,13 +488,34 @@ def embedding_near_dup_pairs(
     near-identical clusters). The tagged corpus is persisted
     (memory-and-disk) so the count job and the pair shuffle share ONE
     signature evaluation — the materialize-once any 10^12-doc run would do
-    for its signature store."""
+    for its signature store.
+
+    Small-input fast path (round 5, mirroring unique-auto's stats tier in
+    ``validator.py``): when TOTAL rows ≤ cap, no bucket can be hot, so the
+    whole guard (dual-sig UDF, hot-bucket count job, persist — ~+0.9s fixed
+    locally) is skipped and the single-job plan runs. Catalyst's free plan
+    estimate gates a cheap EXACT ``count()`` (column-pruned — parquet
+    footer / def-level read, no vectors materialized, no Arrow UDF): the
+    count runs only when ``estimated_bytes / (2·dim) ≤ 16·cap`` (a few MB
+    — each row stores ``dim`` elements ≥ 4 bytes on parquet, halved again
+    for compression slack; non-file relations can estimate lower, which
+    only ever runs a harmless extra count, never skips the guard — the
+    skip itself is decided by the exact count alone). At 10^12 rows the
+    gate never opens and the guard engages with zero extra jobs."""
     df = df.where(F.col(vec_col).isNotNull())  # null vectors can't match
     if dim is None:
         first = df.select(vec_col).first()
         # empty/all-null input: any dim works, no UDF batch ever runs
         dim = len(first[0]) if first is not None else 1
     cap = max_bucket_rows
+    if cap is not None:
+        est = _plan_size_bytes(df)
+        if (
+            est is not None
+            and est // max(1, 2 * dim) <= 16 * cap
+            and df.count() <= cap
+        ):
+            cap = None  # total rows ≤ cap: no bucket can be hot, single job
     if cap is None:
         sig = hyperplane_signature_udf(dim, n_bits, seed)
         tagged = df.select(

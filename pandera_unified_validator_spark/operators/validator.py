@@ -54,16 +54,7 @@ _ROW_OK = "__puv_row_ok"
 _LOG = logging.getLogger(__name__)
 
 
-def _plan_size_bytes(df: DataFrame) -> int | None:
-    """Catalyst's plan-estimated size of ``df``'s relation in bytes — file
-    sizes for file scans, cached bytes for InMemoryRelation. Free (no job);
-    None when the estimate is unavailable (e.g. Spark Connect) or is the
-    unknown-size sentinel (Long.MaxValue)."""
-    try:
-        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    except Exception:  # pragma: no cover - non-JVM backends
-        return None
-    return size if 0 <= size < (1 << 62) else None
+from ..plans.stats import plan_size_bytes as _plan_size_bytes  # noqa: E402  (shared with dedup)
 
 
 class ValidationFailedError(Exception):

@@ -377,6 +377,36 @@ def test_embedding_near_dup_hot_bucket_splits_in_shuffle_key(spark):
     assert got == exhaustive
 
 
+def test_embedding_small_input_fast_path_skips_guard(spark, tmp_path):
+    """Parquet-backed inputs whose exact row count is ≤ max_bucket_rows
+    take the single-job plan: no tagged-corpus persist is registered (the
+    observable difference), and the output is identical to the guarded
+    path's. (RDD-backed frames have unknown Catalyst stats — treated as
+    huge, guard always engages — so the fixture must go through a file.)"""
+    from pandera_unified_validator_spark.operators.dedup import embedding_near_dup_pairs
+    from pandera_unified_validator_spark.utils.cache import registry
+
+    rows = [(i, [float((i % 4) + j) for j in range(8)]) for i in range(30)]
+    src = str(tmp_path / "vecs.parquet")
+    spark.createDataFrame(rows, "vec_id long, embedding array<double>").write.parquet(src)
+    df = spark.read.parquet(src)
+    registry.release_all()
+    fast = embedding_near_dup_pairs(df, threshold=0.99, n_bits=4, max_bucket_rows=64)
+    fast_pairs = {(r["id_a"], r["id_b"], r["cosine_sim"]) for r in fast.collect()}
+    assert registry.labels() == []  # guard skipped: nothing persisted
+    guarded = embedding_near_dup_pairs(df, threshold=0.99, n_bits=4, max_bucket_rows=8)
+    guarded_pairs = {(r["id_a"], r["id_b"], r["cosine_sim"]) for r in guarded.collect()}
+    assert "embedding_near_dup_pairs.tagged" in registry.labels()
+    registry.release_all()
+    # 30 rows < 64: no bucket can be hot, so fast == exhaustive; the cap-8
+    # run may drop cross-sub-bucket pairs but must stay a subset
+    exhaustive = embedding_near_dup_pairs(
+        df, threshold=0.99, n_bits=4, max_bucket_rows=None
+    )
+    ex_pairs = {(r["id_a"], r["id_b"], r["cosine_sim"]) for r in exhaustive.collect()}
+    assert fast_pairs == ex_pairs and guarded_pairs <= ex_pairs
+
+
 def test_shingle_hashes_match_string_gram_identity(spark):
     """shingle_hashes must preserve gram IDENTITY exactly as the string form
     (the property every equality consumer — banding, set Jaccard — relies
