@@ -9,6 +9,7 @@ the driver, and violation rows can be teed to a sink for quarantine.
 
 from __future__ import annotations
 
+import logging
 from typing import Callable
 
 from pyspark.sql import DataFrame
@@ -22,8 +23,11 @@ __all__ = [
     "validate_stream",
     "windowed_error_rates",
     "stateful_error_monitor",
+    "bloom_config",
     "cross_batch_unique_monitor",
 ]
+
+_LOG = logging.getLogger(__name__)
 
 
 class StreamingValidationSink:
@@ -168,6 +172,30 @@ def stateful_error_monitor(
     )
 
 
+def bloom_config(
+    expected_keys: int, fp_rate: float = 0.01, n_buckets: int = 16
+) -> dict[str, int]:
+    """Size the cross-batch uniqueness monitor for a key cardinality: the
+    standard Bloom formulas ``m = −n·ln p ⁄ (ln 2)²`` bits and
+    ``k = (m/n)·ln 2`` probes, applied per shard (``n = expected_keys /
+    n_buckets``), with ``bloom_bits`` rounded UP to the next power of two
+    (the double-hash odd stride cycles the whole filter only when the bit
+    count is a power of two). Feed the result straight into
+    ``cross_batch_unique_monitor(**bloom_config(10**9, 0.01))`` — e.g.
+    10^9 keys at 1% FP ≈ 16 shards × 2^30 bits ≈ 2.1 GB total state."""
+    import math
+
+    if expected_keys < 1:
+        raise ValueError("expected_keys must be >= 1")
+    if not 0.0 < fp_rate < 1.0:
+        raise ValueError("fp_rate must be in (0, 1)")
+    per_shard = max(1, math.ceil(expected_keys / n_buckets))
+    m = -per_shard * math.log(fp_rate) / (math.log(2) ** 2)
+    bits = 1 << max(6, math.ceil(math.log2(m)))  # ≥ 64, power of two
+    probes = max(1, round(bits / per_shard * math.log(2)))
+    return {"n_buckets": n_buckets, "bloom_bits": bits, "n_probes": probes}
+
+
 def cross_batch_unique_monitor(
     stream_df: DataFrame,
     key_col: str,
@@ -176,6 +204,7 @@ def cross_batch_unique_monitor(
     bloom_bits: int = 1 << 20,
     n_probes: int = 7,
     max_flagged_keys: int = 20,
+    saturation_fp: float = 0.05,
 ) -> DataFrame:
     """Cross-micro-batch PROBABLE-duplicate detection for a declared-unique
     key on an unbounded stream — the actionable counterpart to the engine's
@@ -199,12 +228,19 @@ def cross_batch_unique_monitor(
     key spaces.
 
     Returns a streaming DataFrame (bucket, batch_rows, probable_dups,
-    total_rows, total_probable_dups, fill_ratio, flagged); attach with
-    output mode "update". ``flagged`` carries up to ``max_flagged_keys``
-    flagged key values per bucket per batch (the smallest, so the sample is
-    deterministic for a given batch content) — the quarantine breadcrumb;
-    set 0 to keep rows hash-only through the shuffle. Null keys are
-    ignored (nullability is its own check).
+    total_rows, total_probable_dups, fill_ratio, saturated, flagged);
+    attach with output mode "update". ``flagged`` carries up to
+    ``max_flagged_keys`` flagged key values per bucket per batch (the
+    smallest, so the sample is deterministic for a given batch content) —
+    the quarantine breadcrumb; set 0 to keep rows hash-only through the
+    shuffle. Null keys are ignored (nullability is its own check).
+
+    ``saturated`` goes TRUE (with a worker-log warning; the column is the
+    portable signal) once the shard's
+    estimated false-positive rate ``fill_ratio ** n_probes`` exceeds
+    ``saturation_fp`` (default 5%): a stream that outgrows its filter
+    degrades toward flagging everything, and that must be a signal, not a
+    silent drift. Size ahead with ``bloom_config(expected_keys, fp_rate)``.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -221,11 +257,13 @@ def cross_batch_unique_monitor(
     sel = sel.withColumn("__bucket", F.pmod(F.col("__kh"), F.lit(n_buckets)).cast("int"))
     out_schema = (
         "bucket int, batch_rows long, probable_dups long, total_rows long, "
-        "total_probable_dups long, fill_ratio double, flagged array<string>"
+        "total_probable_dups long, fill_ratio double, saturated boolean, "
+        "flagged array<string>"
     )
     state_schema = "filter binary, total_rows long, total_probable_dups long"
     m = bloom_bits
     probes = n_probes
+    sat_fp = saturation_fp
 
     def fn(key, pdfs, state):
         import numpy as np
@@ -278,6 +316,19 @@ def cross_batch_unique_monitor(
         total_rows += batch_rows
         total_dups += batch_dups
         fill = float(np.unpackbits(filt).mean()) if batch_rows else 0.0
+        # estimated FP rate of a standard Bloom filter = fill^probes; past
+        # the threshold the monitor is degrading toward flagging everything
+        saturated = bool(fill**probes > sat_fp)
+        if saturated:
+            _LOG.warning(
+                "cross_batch_unique_monitor bucket %s SATURATED: fill_ratio "
+                "%.3f -> est. false-positive rate %.3f > %.3f; raise "
+                "bloom_bits/n_buckets (see bloom_config())",
+                key[0],
+                fill,
+                fill**probes,
+                sat_fp,
+            )
         state.update((filt.tobytes(), total_rows, total_dups))
         yield pd.DataFrame(
             {
@@ -287,6 +338,7 @@ def cross_batch_unique_monitor(
                 "total_rows": [total_rows],
                 "total_probable_dups": [total_dups],
                 "fill_ratio": [round(fill, 6)],
+                "saturated": [saturated],
                 # smallest-N: deterministic for a given batch content
                 "flagged": [sorted(set(flagged))[:max_flagged_keys]],
             }

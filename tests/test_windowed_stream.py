@@ -155,11 +155,67 @@ def test_cross_batch_unique_monitor(spark, tmp_path):
     # 5 cross-batch repeats (k5..k9) + 1 within-batch repeat (second k100)
     assert sum(r["total_probable_dups"] for r in final.values()) == 6
     assert all(0.0 <= r["fill_ratio"] < 0.01 for r in final.values())
+    assert all(r["saturated"] is False for r in final.values())
     # flagged keys name the offenders (union over batches per bucket)
     flagged = set()
     for r in rows:
         flagged.update(r["flagged"])
     assert flagged == {"k5", "k6", "k7", "k8", "k9", "k100"}
+
+
+def test_cross_batch_monitor_saturation_flag(spark, tmp_path):
+    """A stream that outgrows its filter must SAY so: overfilling a tiny
+    64-bit filter with hundreds of distinct keys drives fill_ratio toward
+    1.0, so the estimated FP rate fill^probes crosses the threshold and
+    ``saturated`` flips TRUE (the round-4 monitor reported fill_ratio but
+    degraded toward flagging everything silently)."""
+    from pandera_unified_validator_spark.streaming.structured import (
+        cross_batch_unique_monitor,
+    )
+
+    src = str(tmp_path / "satsrc")
+    spark.createDataFrame(
+        [(f"key{i}",) for i in range(400)], "k string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("k string").parquet(src)
+    out = cross_batch_unique_monitor(stream, "k", n_buckets=1, bloom_bits=64)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sat_out")
+        .option("checkpointLocation", str(tmp_path / "sat_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM sat_out").collect()
+    assert rows and all(r["saturated"] is True for r in rows)
+    assert all(r["fill_ratio"] > 0.65 for r in rows)
+
+
+def test_bloom_config_sizing():
+    """bloom_config applies the standard formulas, rounds bits up to a
+    power of two (double-hash stride requirement), and its configs keep
+    the estimated FP near the request."""
+    import math
+
+    from pandera_unified_validator_spark.streaming.structured import bloom_config
+
+    cfg = bloom_config(1_600_000, fp_rate=0.01, n_buckets=16)
+    assert cfg["n_buckets"] == 16
+    assert cfg["bloom_bits"] & (cfg["bloom_bits"] - 1) == 0  # power of two
+    per_shard = 100_000
+    assert cfg["bloom_bits"] >= -per_shard * math.log(0.01) / math.log(2) ** 2
+    # k ≈ (m/n)·ln2 probes; realized FP (1-e^{-kn/m})^k must be ≤ target
+    k, m = cfg["n_probes"], cfg["bloom_bits"]
+    fp = (1 - math.exp(-k * per_shard / m)) ** k
+    assert fp <= 0.01
+    import pytest
+
+    with pytest.raises(ValueError):
+        bloom_config(0)
+    with pytest.raises(ValueError):
+        bloom_config(10, fp_rate=1.5)
 
 
 def test_windowed_validation_drops_late_data(spark, tmp_path):
