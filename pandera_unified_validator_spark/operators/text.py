@@ -34,13 +34,32 @@ __all__ = [
 # BPE-ish pre-tokenizer: letter runs, digit runs, single non-alnum marks
 BPE_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
-# language marker sets (disjoint across languages; deterministic heuristic)
+# language marker sets (disjoint across languages; ASCII-only tokens so the
+# Java-regex and RE2 \b word boundaries agree; deterministic heuristic)
 _LANG_MARKERS: dict[str, str] = {
     "en": r"\b(the|and|of|to|is|was|with)\b",
     "es": r"\b(el|los|las|que|una|por|como)\b",
     "fr": r"\b(le|les|et|dans|une|pour|avec)\b",
     "de": r"\b(der|die|das|und|ist|ein|nicht)\b",
+    "it": r"\b(il|che|della|sono|anche|gli|nel)\b",
+    "pt": r"\b(uma|mais|muito|quando|isso|ele|dos)\b",
+    "nl": r"\b(het|een|van|niet|voor|ook|maar)\b",
 }
+# script-range short-circuits, checked IN ORDER before the marker vote:
+# kana before CJK (Japanese mixes kanji with kana; pure-ideograph text is
+# classified zh), hangul before CJK (hanja is rare), the rest are mutually
+# exclusive scripts. All ranges are BMP literals both Java regex and RE2
+# interpret identically.
+_SCRIPT_LANGS: tuple[tuple[str, str], ...] = (
+    ("ja", r"[ぁ-ゖァ-ヺー]"),   # hiragana + katakana + prolonged mark
+    ("ko", r"[가-힣]"),          # hangul syllables
+    ("zh", r"[一-鿿]"),          # CJK unified ideographs
+    ("ru", r"[Ѐ-ӿ]"),           # Cyrillic
+    ("ar", r"[؀-ۿ]"),           # Arabic
+    ("hi", r"[ऀ-ॿ]"),           # Devanagari
+    ("el", r"[Ͱ-Ͽ]"),           # Greek
+    ("he", r"[֐-׿]"),           # Hebrew
+)
 _CJK = r"[一-鿿]"
 
 _STOPWORDS_RE = (
@@ -176,12 +195,19 @@ def token_count_regex(text: Column | str, pattern: str = BPE_REGEX) -> Column:
 
 
 def language_id(text: Column | str) -> Column:
-    """Marker-based language ID over {en, es, fr, de, zh}.
+    """Language ID over 15 languages, pure codegen expressions (no model,
+    no UDF — the highest-frequency gate of a multilingual pipeline must be
+    a per-row expression at 10^12 docs).
 
-    CJK characters short-circuit to ``zh``; otherwise the language with the
-    most marker-word hits wins; ties break to the lexicographically LARGEST
-    code (fr > es > en > de) via struct-max on (hits, code) — deterministic
-    and SQL-expressible. Returns 'und' when nothing matches.
+    Two tiers: (1) script-range short-circuits in ``_SCRIPT_LANGS`` order —
+    ja (kana), ko (hangul), zh (CJK ideographs), ru (Cyrillic), ar
+    (Arabic), hi (Devanagari), el (Greek), he (Hebrew) — one cheap
+    ``rlike`` each (first match wins, no counting); then (2) a marker-word
+    vote over the Latin-script languages {en, es, fr, de, it, pt, nl}: the
+    language with the most marker hits wins, ties break to the
+    lexicographically LARGEST code via struct-max on (hits, code) —
+    deterministic and SQL-expressible (the DuckDB oracle replays it with a
+    rank window). Returns 'und' when nothing matches, NULL for NULL text.
     """
     c = F.lower(F.col(text) if isinstance(text, str) else text)
     scored = F.array(
@@ -194,12 +220,10 @@ def language_id(text: Column | str) -> Column:
         ]
     )
     best = F.array_max(scored)
-    return (
-        F.when(c.isNull(), F.lit(None))
-        .when(F.regexp_count(c, F.lit(_CJK)) > 0, F.lit("zh"))
-        .when(best["hits"] > 0, best["code"])
-        .otherwise(F.lit("und"))
-    )
+    expr = F.when(c.isNull(), F.lit(None))
+    for code, pat in _SCRIPT_LANGS:
+        expr = expr.when(c.rlike(pat), F.lit(code))
+    return expr.when(best["hits"] > 0, best["code"]).otherwise(F.lit("und"))
 
 
 def quality_features(text: Column | str) -> dict[str, Column]:

@@ -426,23 +426,38 @@ def q_langid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_LANGID_DOCUMENTS = r"""
-WITH hits AS (
-  SELECT CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|was|with)\b')) AS BIGINT) AS he,
-         CAST(len(regexp_extract_all(lower(text), '\b(el|los|las|que|una|por|como)\b')) AS BIGINT) AS hs,
-         CAST(len(regexp_extract_all(lower(text), '\b(le|les|et|dans|une|pour|avec)\b')) AS BIGINT) AS hf,
-         CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|ein|nicht)\b')) AS BIGINT) AS hd,
-         len(regexp_extract_all(text, '[一-鿿]')) AS zh
-  FROM documents
+def _langid_oracle_sql() -> str:
+    """DuckDB replay of ``language_id`` generated FROM the operator's own
+    marker/script tables (no drift): same script-range short-circuits in
+    the same order, and the marker vote's (hits, code) struct-max replayed
+    as a rank window ORDER BY hits DESC, code DESC."""
+    from .operators.text import _LANG_MARKERS, _SCRIPT_LANGS
+
+    marker_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, '{code}' AS code, CAST(len(regexp_extract_all(lt, "
+        f"'{pat}')) AS BIGINT) AS hits FROM t"
+        for code, pat in sorted(_LANG_MARKERS.items())
+    )
+    script_whens = "\n              ".join(
+        f"WHEN regexp_matches(t.lt, '{pat}') THEN '{code}'"
+        for code, pat in _SCRIPT_LANGS
+    )
+    return rf"""
+WITH t AS (SELECT doc_id, lower(text) AS lt FROM documents),
+m AS (
+  {marker_selects}
+),
+best AS (
+  SELECT doc_id, code, hits,
+         row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, code DESC) AS rn
+  FROM m
 ),
 p AS (
-  SELECT CASE WHEN zh > 0 THEN 'zh'
-              WHEN greatest(he, hs, hf, hd) = 0 THEN 'und'
-              WHEN hf >= he AND hf >= hs AND hf >= hd THEN 'fr'
-              WHEN hs >= he AND hs >= hd THEN 'es'
-              WHEN he >= hd THEN 'en'
-              ELSE 'de' END AS lang_pred
-  FROM hits
+  SELECT CASE WHEN t.lt IS NULL THEN NULL
+              {script_whens}
+              WHEN b.hits > 0 THEN b.code
+              ELSE 'und' END AS lang_pred
+  FROM t JOIN best b ON b.doc_id = t.doc_id AND b.rn = 1
 )
 SELECT lang_pred, count(*) AS n FROM p GROUP BY lang_pred ORDER BY lang_pred
 """
@@ -1709,7 +1724,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "psi_documents_nchars": (q_psi_documents_nchars, _SQL_PSI_DOCUMENTS_NCHARS),
     "text_token_counts": (q_text_token_counts, _SQL_TEXT_TOKEN_COUNTS),
     "text_quality_by_source": (q_text_quality_by_source, _SQL_TEXT_QUALITY_BY_SOURCE),
-    "langid_documents": (q_langid_documents, _SQL_LANGID_DOCUMENTS),
+    "langid_documents": (q_langid_documents, _langid_oracle_sql()),
     "dedup_exact_by_source": (q_dedup_exact_by_source, _SQL_DEDUP_EXACT_BY_SOURCE),
     "minhash_parity": (q_minhash_parity, _SQL_MINHASH_PARITY),
     "embedding_topk": (q_embedding_topk, _SQL_EMBEDDING_TOPK),

@@ -45,7 +45,17 @@ def test_language_id_markers(spark):
             ("el perro que corre por la casa como siempre", "es"),
             ("le chat est dans la maison pour une nuit avec", "fr"),
             ("der hund und die katze ist ein tier nicht", "de"),
+            ("il gatto che corre nel giardino sono anche gli amici", "it"),
+            ("ele fala muito quando isso acontece mais uma vez dos livros", "pt"),
+            ("het huis van een man is niet groot maar ook mooi", "nl"),
             ("这是一个中文句子", "zh"),
+            ("これは日本語の文です", "ja"),          # kana beats the kanji zh check
+            ("한국어 문장입니다", "ko"),
+            ("это русское предложение", "ru"),
+            ("هذه جملة عربية", "ar"),
+            ("यह एक हिंदी वाक्य है", "hi"),
+            ("αυτή είναι μια ελληνική πρόταση", "el"),
+            ("זה משפט בעברית", "he"),
             ("zzz qqq xxx", "und"),
         ],
         "t string, expected string",
@@ -53,6 +63,11 @@ def test_language_id_markers(spark):
     rows = df.select("expected", language_id("t").alias("got")).collect()
     for r in rows:
         assert r["got"] == r["expected"], r
+    # NULL text -> NULL prediction
+    nrow = spark.createDataFrame([(None,)], "t string").select(
+        language_id("t").alias("got")
+    ).collect()
+    assert nrow[0]["got"] is None
 
 
 def test_quality_score_orders_sensibly(spark):
