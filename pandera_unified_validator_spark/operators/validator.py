@@ -26,6 +26,7 @@ controls raise-vs-return, matching ``core/validator.py:136-137``.
 
 from __future__ import annotations
 
+import json
 import logging
 import time
 from dataclasses import dataclass, field
@@ -391,16 +392,32 @@ class SparkValidator:
 
         samples: dict[str, tuple] = {}
         if self.collect_samples and self.key_columns:
+            # ONE job for every failed check's samples: a union of per-check
+            # limited branches, each row JSON-packed so heterogeneous sample
+            # schemas (different checks sample different columns) share one
+            # union schema. The round-4 shape looped per check — up to 20
+            # separate job launches of fixed overhead per failing validation.
             failed = [c for c in checks if by_check.get(c.name)]
-            for c in failed[:20]:  # bound the number of extra jobs
-                cols = list(self.key_columns) + ([c.column] if c.column else [])
-                sample_rows = (
-                    annotated.filter(~F.col(FLAG_PREFIX + c.name))
-                    .select(*dict.fromkeys(cols))
-                    .limit(self.max_samples)
-                    .collect()
+            branches = []
+            for c in failed[:20]:  # bound the fan-out
+                cols = dict.fromkeys(
+                    list(self.key_columns) + ([c.column] if c.column else [])
                 )
-                samples[c.name] = tuple(r.asDict() for r in sample_rows)
+                branches.append(
+                    annotated.filter(~F.col(FLAG_PREFIX + c.name))
+                    .select(
+                        F.lit(c.name).alias("__chk"),
+                        F.to_json(
+                            F.struct(*cols), {"ignoreNullFields": "false"}
+                        ).alias("__row"),
+                    )
+                    .limit(self.max_samples)
+                )
+            if branches:
+                grouped: dict[str, list] = {}
+                for r in reduce(DataFrame.unionAll, branches).collect():
+                    grouped.setdefault(r["__chk"], []).append(json.loads(r["__row"]))
+                samples = {k: tuple(v) for k, v in grouped.items()}
 
         results = tuple(
             CheckResult(

@@ -345,3 +345,21 @@ def test_unique_auto_stats_fast_path(spark, tmp_path):
     a = {c.name: c.n_failed for c in r_fast.report.checks}
     b = {c.name: c.n_failed for c in r_slow.report.checks}
     assert a == b == {"k__unique": 100}               # every key duplicated
+
+
+def test_collect_samples_one_job_per_validation(spark, dirty):
+    """Failing-value samples for ALL failed checks come back from ONE Spark
+    job (a union of per-check limited branches — round 4 launched up to 20
+    separate jobs), keyed by check name, each bounded by max_samples and
+    carrying the key columns plus the check's column."""
+    res = make_validator(spark, collect_samples=True, max_samples=3).validate(dirty)
+    failed = {c.name for c in res.report.checks if c.n_failed}
+    sampled = {c.name: c.samples for c in res.report.checks if c.samples}
+    assert set(sampled) == failed
+    for name, rows in sampled.items():
+        assert 1 <= len(rows) <= 3
+        for r in rows:
+            assert "doc_id" in r
+    # n_tok range check samples carry the offending column value
+    ntok = next(c for c in res.report.checks if c.name == "n_tok__ge" and c.samples)
+    assert all("n_tok" in s for s in ntok.samples)
