@@ -24,7 +24,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["iceberg_available", "read_iceberg", "iceberg_partitions"]
+__all__ = [
+    "iceberg_available",
+    "read_iceberg",
+    "iceberg_partitions",
+    "current_snapshot_id",
+]
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -58,6 +63,25 @@ def read_iceberg(
     if as_of_timestamp is not None:
         reader = reader.option("as-of-timestamp", str(as_of_timestamp))
     return reader.table(table)
+
+
+def current_snapshot_id(spark: SparkSession, table: str) -> int:
+    """The table's current (latest committed) snapshot id, from the
+    ``.snapshots`` metadata table — a metadata read, no data scan. Used by
+    ``run_iceberg`` to PIN an unpinned run up front so its lineage markers
+    name a concrete snapshot (resuming against markers stamped "latest"
+    would silently skip partitions that changed since — advice r4)."""
+    if not iceberg_available(spark):
+        raise NotImplementedError("Iceberg runtime jar not available (see read_iceberg)")
+    row = (
+        spark.read.table(f"{table}.snapshots")
+        .orderBy("committed_at", ascending=False)
+        .select("snapshot_id")
+        .first()
+    )
+    if row is None:
+        raise ValueError(f"iceberg table {table!r} has no snapshots")
+    return int(row[0])
 
 
 def iceberg_partitions(spark: SparkSession, table: str) -> DataFrame:

@@ -262,6 +262,7 @@ class PartitionedValidationRunner:
         snapshot_id: int | None = None,
         partitions: Sequence[Any] | None = None,
         read_fn: Callable[..., DataFrame] | None = None,
+        resolve_snapshot_fn: Callable[[SparkSession, str], int] | None = None,
     ) -> StreamingResult:
         """Partition-group validation over an Iceberg table PINNED at a
         snapshot — the north rule's resumable loop against a moving table.
@@ -278,9 +279,23 @@ class PartitionedValidationRunner:
         filter is partition-pruned by Iceberg at scan time, so a group job
         reads only its partition's files. ``read_fn`` defaults to
         ``sources.iceberg.read_iceberg`` and is injectable for catalogs the
-        test environment lacks."""
+        test environment lacks; ``resolve_snapshot_fn`` likewise defaults to
+        ``sources.iceberg.current_snapshot_id``.
+
+        ``snapshot_id=None`` is resolved to the table's CURRENT snapshot up
+        front and the resolved value is embedded in both the read and every
+        lineage marker — stamping markers with the symbolic "latest"
+        (round 4 wrote ``@None``) would let a resume skip partitions even
+        though the unpinned table had moved between runs, breaking the
+        exactly-once-vs-moving-table guarantee this loop exists for."""
         if read_fn is None:
             from ..sources.iceberg import read_iceberg as read_fn  # type: ignore[no-redef]
+        if snapshot_id is None:
+            if resolve_snapshot_fn is None:
+                from ..sources.iceberg import (  # type: ignore[no-redef]
+                    current_snapshot_id as resolve_snapshot_fn,
+                )
+            snapshot_id = int(resolve_snapshot_fn(spark, table))
         df = read_fn(spark, table, snapshot_id=snapshot_id)
         if partitions is None:
             partitions = [

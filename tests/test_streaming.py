@@ -291,6 +291,62 @@ def test_iceberg_snapshot_pinned_resume(spark, tmp_path, monkeypatch):
     assert r3.metrics.total_rows == 14 and r3.metrics.invalid_rows == 2
 
 
+def test_iceberg_unpinned_run_resolves_current_snapshot(spark, tmp_path, monkeypatch):
+    """snapshot_id=None must NOT stamp lineage markers with a symbolic
+    "latest" (round-4 wrote '@None', so a resume could skip partitions of a
+    table that had moved): the runner resolves the current snapshot up
+    front and embeds the concrete id — markers at snapshot 1, and when the
+    table advances to snapshot 2 an unpinned re-run re-validates instead of
+    resuming."""
+    import pandera_unified_validator_spark.sources.iceberg as ice
+
+    store = str(tmp_path / "iceberg_sim2")
+    snap1 = [(i, f"p{i % 2}", float(i), 1) for i in range(8)]
+    snap2 = [(100, "p0", -1.0, 2)]
+    spark.createDataFrame(
+        snap1 + snap2, "id int, part string, value double, seq int"
+    ).write.parquet(store)
+
+    current = {"snap": 1}
+
+    def fake_read_iceberg(spark_, table, *, snapshot_id=None, as_of_timestamp=None):
+        assert snapshot_id is not None  # the runner must have pinned
+        return (
+            spark_.read.parquet(store)
+            .filter(F.col("seq") <= snapshot_id)
+            .drop("seq")
+        )
+
+    def fake_current_snapshot(spark_, table):
+        return current["snap"]
+
+    monkeypatch.setattr(ice, "read_iceberg", fake_read_iceberg)
+    monkeypatch.setattr(ice, "current_snapshot_id", fake_current_snapshot)
+
+    schema = (
+        SchemaBuilder("t").column("id", "int").column("value", "float", ge=0.0).build()
+    )
+    runner = PartitionedValidationRunner(
+        SparkValidator(schema),
+        checkpoint_dir=str(tmp_path / "ice_ckpt2"),
+        error_threshold=None,
+    )
+    r1 = runner.run_iceberg(spark, "lake.db.tokens", partition_col="part")
+    assert all("@1#" in g.files[0] for g in r1.groups)
+    assert r1.metrics.total_rows == 8
+
+    # table unchanged: unpinned re-run resolves to the same snapshot, resumes
+    r2 = runner.run_iceberg(spark, "lake.db.tokens", partition_col="part")
+    assert [g.resumed for g in r2.groups] == [True, True]
+
+    # table moved: unpinned re-run resolves to snapshot 2 and re-validates
+    current["snap"] = 2
+    r3 = runner.run_iceberg(spark, "lake.db.tokens", partition_col="part")
+    assert all("@2#" in g.files[0] for g in r3.groups)
+    assert [g.resumed for g in r3.groups] == [False, False]
+    assert r3.metrics.total_rows == 9 and r3.metrics.invalid_rows == 1
+
+
 def test_read_orc_roundtrip(spark, tmp_path):
     from pandera_unified_validator_spark.sources.readers import read_orc
 
