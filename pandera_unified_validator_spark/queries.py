@@ -1412,13 +1412,22 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_STRATIFIED_SAMPLE = """
+def _stratified_sample_oracle_sql() -> str:
+    """Thresholds computed HOST-SIDE by the engine's own ``_threshold``
+    (Python int() truncation) and spliced as integer literals — DuckDB's
+    ``CAST(0.1 * 2^32 AS BIGINT)`` ROUNDS the decimal (429496730 vs
+    truncation's 429496729), a latent one-off-threshold flake whenever a
+    row's hash lands exactly on the boundary (advice r4)."""
+    from .operators.sampling import _threshold
+
+    t1, t2, td = _threshold(0.5), _threshold(1.0), _threshold(0.1)
+    return f"""
 WITH h AS (
   SELECT *,
          CAST(('0x' || substring(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv,
-         CASE source WHEN 'src1' THEN CAST(0.5 * 4294967296 AS BIGINT)
-                     WHEN 'src2' THEN CAST(1.0 * 4294967296 AS BIGINT)
-                     ELSE CAST(0.1 * 4294967296 AS BIGINT) END AS thr
+         CASE source WHEN 'src1' THEN {t1}
+                     WHEN 'src2' THEN {t2}
+                     ELSE {td} END AS thr
   FROM documents
 )
 SELECT source,
@@ -1758,7 +1767,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "token_bucket_drift": (q_token_bucket_drift, _SQL_TOKEN_BUCKET_DRIFT),
     "repetition_by_source": (q_repetition_by_source, _SQL_REPETITION_BY_SOURCE),
     "contamination_flags": (q_contamination_flags, _SQL_CONTAMINATION_FLAGS),
-    "stratified_sample": (q_stratified_sample, _SQL_STRATIFIED_SAMPLE),
+    "stratified_sample": (q_stratified_sample, _stratified_sample_oracle_sql()),
     "multimodal_real_decode": (q_multimodal_real_decode, _SQL_MULTIMODAL_REAL_DECODE),
     "pii_by_source": (q_pii_by_source, _SQL_PII_BY_SOURCE),
     "near_dup_components": (q_near_dup_components, _SQL_NEAR_DUP_COMPONENTS),

@@ -189,10 +189,16 @@ class ValidationReport:
         The errors-by-column bar chart the reference renders via its chart.js
         template (reference utils/reporting.py:416-704) is inlined here as
         plain SVG (no script, no external assets — safe to open offline or
-        attach to a ticket)."""
+        attach to a ticket). Every interpolated name/label/message passes
+        through ``html.escape`` — column names and error strings are caller
+        data and must not be able to inject markup into the report."""
+        from html import escape
+
+        title = escape(title)
         rows = "\n".join(
-            f"<tr class={'fail' if c.n_failed else 'ok'}><td>{c.name}</td>"
-            f"<td>{c.column}</td><td>{c.check}</td><td>{c.n_failed:,}</td>"
+            f"<tr class={'fail' if c.n_failed else 'ok'}><td>{escape(c.name)}</td>"
+            f"<td>{escape(str(c.column))}</td><td>{escape(str(c.check))}</td>"
+            f"<td>{c.n_failed:,}</td>"
             f"<td>{c.n_checked:,}</td></tr>"
             for c in self.checks
         )
@@ -209,7 +215,7 @@ class ValidationReport:
                 w = max(round(bar_w * n / vmax), 1)
                 bars.append(
                     f'<text x="{label_w - 6}" y="{y + bar_h - 5}" text-anchor="end" '
-                    f'font-size="12" font-family="sans-serif">{col}</text>'
+                    f'font-size="12" font-family="sans-serif">{escape(str(col))}</text>'
                     f'<rect x="{label_w}" y="{y}" width="{w}" height="{bar_h}" fill="#c22"/>'
                     f'<text x="{label_w + w + 6}" y="{y + bar_h - 5}" font-size="12" '
                     f'font-family="sans-serif">{n:,}</text>'
@@ -230,8 +236,8 @@ td,th{{border:1px solid #ccc;padding:4px 10px}}tr.fail{{background:#fdd}}
 {chart}
 <table><tr><th>check</th><th>column</th><th>kind</th><th>failed</th><th>checked</th></tr>
 {rows}</table>
-<pre>{json.dumps({'errors': list(self.errors), 'warnings': list(self.warnings),
-                 'metadata': self.metadata}, indent=2, default=str)}</pre>
+<pre>{escape(json.dumps({'errors': list(self.errors), 'warnings': list(self.warnings),
+                 'metadata': self.metadata}, indent=2, default=str))}</pre>
 </body></html>"""
         if filepath:
             with open(filepath, "w") as f:

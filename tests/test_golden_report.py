@@ -119,3 +119,35 @@ def test_reference_fixture_field_parity(spark):
         assert d["summary"]["total_suggestions"] == len(d["suggestions"])
     assert got["is_valid"] is False and len(got["errors"]) > 0
     assert json.dumps(got)  # serializable
+
+
+def test_html_report_escapes_caller_data():
+    """Column names, check names, titles, chart labels and error messages
+    are caller data: a value containing markup must come out HTML-escaped,
+    not as live tags (advice r4 — the SVG chart extended the unescaped
+    interpolation into <text> nodes)."""
+    from pandera_unified_validator_spark.utils.reporting import (
+        CheckResult,
+        ValidationReport,
+    )
+
+    evil = 'col<script>&"x"'
+    rep = ValidationReport(
+        is_valid=False,
+        checks=(
+            CheckResult(
+                name=f"{evil}__ge", column=evil, check="ge<1>", n_failed=3, n_checked=9
+            ),
+        ),
+        errors=(f"schema error about {evil}",),
+        warnings=(),
+        n_rows=9,
+        n_invalid_rows=3,
+        metadata={},
+    )
+    html = rep.to_html(title=f"report <{evil}>")
+    assert "<script>" not in html
+    assert "col&lt;script&gt;" in html          # table cell + svg label escaped
+    assert "ge&lt;1&gt;" in html                # check kind escaped
+    assert "report &lt;col" in html             # title escaped
+    assert "&quot;x&quot;" in html or "&#x27;" in html or '\\"x\\"' in html
