@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1251,6 +1251,35 @@ FROM reach GROUP BY a ORDER BY id
 """
 
 
+def q_components_deep_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointer-doubling convergence under the driver gate: consecutive
+    doc_ids WITHIN each source form one path graph per source — component
+    diameter ≈ docs-per-source (hundreds at gate scale), far past the
+    round-4 one-hop loop's default 25 rounds, so this query is only
+    correct because label propagation shortcuts ``component :=
+    component[component]`` each round (O(log diameter)). Oracle: a chain
+    connects the whole source, so every chained doc's component is simply
+    ``min(doc_id) OVER source`` — exact closed form, no recursion needed."""
+    from .operators.dedup import connected_components
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    pairs = d.select(
+        F.lag("doc_id").over(w).alias("id_a"), F.col("doc_id").alias("id_b")
+    ).where(F.col("id_a").isNotNull())
+    return connected_components(pairs).orderBy("id")
+
+
+_SQL_COMPONENTS_DEEP_CHAIN = """
+WITH s AS (SELECT source, count(*) AS n, min(doc_id) AS m
+           FROM documents GROUP BY source)
+SELECT d.doc_id AS id, s.m AS component
+FROM documents d JOIN s ON d.source = s.source
+WHERE s.n >= 2
+ORDER BY id
+"""
+
+
 def q_pii_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction under the driver gate: deterministic PII
     strings (email/phone/SSN/IPv4, keyed by doc_id mod 5) are appended to
@@ -1771,6 +1800,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "multimodal_real_decode": (q_multimodal_real_decode, _SQL_MULTIMODAL_REAL_DECODE),
     "pii_by_source": (q_pii_by_source, _SQL_PII_BY_SOURCE),
     "near_dup_components": (q_near_dup_components, _SQL_NEAR_DUP_COMPONENTS),
+    "components_deep_chain": (q_components_deep_chain, _SQL_COMPONENTS_DEEP_CHAIN),
     "multimodal_fake_decode": (q_multimodal_fake_decode, _SQL_MULTIMODAL_FAKE_DECODE),
     "apply_fixes_lineitem": (q_apply_fixes_lineitem, _SQL_APPLY_FIXES_LINEITEM),
 }
