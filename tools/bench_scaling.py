@@ -315,8 +315,9 @@ The two shapes bracket the engine's true scaling. Under the HEADROOM
 protocol (3-core executors, so even the 8-executor level's 24 busy threads
 leave cores for driver + worker daemon + OS at every level — the situation
 every executor enjoys in a real multi-node cluster) BOTH N→4N pairs clear
-the bar: **1→4 executors = 0.888 and 2→8 executors = 0.885** (speedups
-3.55× and 3.54× for 4× the executors). Under the SATURATING
+the bar; the tables above carry the latest measurements (round 5 re-ran
+the 2 and 8 levels on the round-5 engine: **2→8 = 0.965**; the round-3
+record read 1→4 = 0.888 and 2→8 = 0.885). Under the SATURATING
 shape (4-core executors) the same 2→8 pair reads 0.736 — because at 8×4
 the job's 32 executor threads equal the box's 32 cores and the driver
 JVM, worker daemon, Python process, and OS all steal from executor time
