@@ -28,6 +28,8 @@ __all__ = [
     "redact_pii",
     "compression_ratio",
     "fingerprint",
+    "unigram_lm",
+    "unigram_doc_scores",
     "analyze_text",
 ]
 
@@ -352,6 +354,94 @@ def fingerprint(text: Column | str) -> Column:
         ),
     )
     return F.shiftleft(folded["a"], 31).bitwiseXOR(folded["b"])
+
+
+# ------------------------------------------- unigram LM quality scoring ----
+def unigram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    alpha: float = 0.5,
+    vocab_limit: int | None = 1_000_000,
+) -> DataFrame:
+    """Unigram language model from a corpus: (word, logp) with Laplace
+    smoothing ``logp = ln((count + α) / (total + α·(V+1)))`` — the +1
+    reserves one smoothed slot for any out-of-vocabulary word, so OOV
+    probability mass is well-defined and every doc scores. Words are the
+    engine's standard lowercased whitespace tokens.
+
+    ``vocab_limit`` keeps the broadcastable LM bounded: only the top-K
+    words by count keep their own entry (ties broken by word for
+    determinism); everything else scores as OOV. V = the KEPT vocabulary
+    size, so the model stays a proper distribution over kept-words + OOV.
+    One explode → map-side-combined groupBy; the result is the dimension
+    table a 10^12-doc run builds once from a clean reference corpus
+    (CCNet trains its reference LM on Wikipedia) and broadcasts ever
+    after."""
+    counts = (
+        df.select(F.explode(words(text_col)).alias("__w"))
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    if vocab_limit is not None:
+        counts = counts.orderBy(F.col("__n").desc(), F.col("__w")).limit(vocab_limit)
+    # total/V reduce over the (bounded) kept vocab — a driver-side scalar
+    row = counts.agg(
+        F.sum("__n").alias("t"), F.count(F.lit(1)).alias("v")
+    ).collect()[0]
+    total, v = (row["t"] or 0), row["v"]
+    denom = float(total) + alpha * (v + 1)
+    return counts.select(
+        F.col("__w").alias("word"),
+        F.log((F.col("__n") + F.lit(alpha)) / F.lit(denom)).alias("logp"),
+    )
+
+
+def unigram_doc_scores(
+    df: DataFrame,
+    lm: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    oov_logp: float | None = None,
+    keep_cols: Sequence[str] = (),
+) -> DataFrame:
+    """CCNet-style LM quality scores: per doc, the mean unigram
+    log-probability of its words under ``lm`` (= −cross-entropy; exp(−x)
+    is the per-word perplexity). Low scores flag boilerplate/gibberish,
+    high scores natural prose — the standard LM filtering gate of a
+    training-data pipeline, here against a unigram model so the whole
+    computation stays JVM-side.
+
+    Scale shape: one explode of the corpus (multiset — repeated words
+    count repeatedly, as cross-entropy requires), one **broadcast** hash
+    join against the LM (≤ ``vocab_limit`` rows by construction), one
+    map-side-combined groupBy(doc). The corpus text itself never shuffles
+    — only (doc_id, logp) pairs reach the aggregation. ``oov_logp``
+    defaults to ``min(lm.logp)`` (one tiny job): unseen words score at
+    least as badly as the rarest seen word. Docs with no words get NULL
+    mean and n_words = 0. Returns (id, *keep_cols, n_words, mean_logp)."""
+    if oov_logp is None:
+        row = lm.agg(F.min("logp")).collect()[0]
+        oov_logp = float(row[0]) if row[0] is not None else -20.0
+    keep = [F.first(c).alias(c) for c in keep_cols]
+    tok = df.select(
+        F.col(id_col), *keep_cols, F.explode_outer(words(text_col)).alias("word")
+    )
+    return (
+        tok.join(F.broadcast(lm), "word", "left")
+        .groupBy(id_col)
+        .agg(
+            *keep,
+            F.count("word").alias("n_words"),
+            F.avg(
+                F.when(
+                    F.col("word").isNotNull(),
+                    F.coalesce(F.col("logp"), F.lit(oov_logp)),
+                )
+            ).alias("mean_logp"),
+        )
+    )
 
 
 def analyze_text(

@@ -1251,6 +1251,58 @@ FROM reach GROUP BY a ORDER BY id
 """
 
 
+def q_unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filtering under the driver gate: a unigram
+    LM built from the corpus itself (top-5000 vocab, Laplace α=0.5), every
+    doc scored by its mean word log-probability (broadcast join, multiset
+    semantics = unigram cross-entropy), aggregated per source. Oracle:
+    DuckDB rebuilds the identical vocab (same count-then-word tie-break),
+    smoothing arithmetic, OOV floor (min kept logp) and per-doc means."""
+    from .operators.text import unigram_doc_scores, unigram_lm
+
+    d = _t(spark, sf_dir, "documents")
+    lm = unigram_lm(d, alpha=0.5, vocab_limit=5000)
+    s = unigram_doc_scores(d, lm, keep_cols=("source",))
+    return (
+        s.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("words_sum"),
+            F.round(F.avg("mean_logp"), 4).alias("avg_logp"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_UNIGRAM_LM_QUALITY = r"""
+WITH w AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(ws) AS word FROM w),
+cnt AS (SELECT word, count(*) AS n FROM tok GROUP BY word
+        ORDER BY n DESC, word LIMIT 5000),
+tv AS (SELECT sum(n) AS t, count(*) AS v FROM cnt),
+lm AS (SELECT word, ln((n + 0.5) / (t + 0.5 * (v + 1))) AS logp FROM cnt, tv),
+oov AS (SELECT min(logp) AS o FROM lm),
+scored AS (
+  SELECT t.doc_id, avg(coalesce(lm.logp, (SELECT o FROM oov))) AS mean_logp
+  FROM tok t LEFT JOIN lm ON t.word = lm.word
+  GROUP BY t.doc_id
+),
+doc AS (
+  SELECT w.doc_id, w.source, len(w.ws) AS n_words, s.mean_logp
+  FROM w LEFT JOIN scored s ON w.doc_id = s.doc_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS words_sum,
+       round(avg(mean_logp), 4) AS avg_logp
+FROM doc GROUP BY source ORDER BY source
+"""
+
+
 def q_components_deep_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pointer-doubling convergence under the driver gate: consecutive
     doc_ids WITHIN each source form one path graph per source — component
@@ -1801,6 +1853,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "pii_by_source": (q_pii_by_source, _SQL_PII_BY_SOURCE),
     "near_dup_components": (q_near_dup_components, _SQL_NEAR_DUP_COMPONENTS),
     "components_deep_chain": (q_components_deep_chain, _SQL_COMPONENTS_DEEP_CHAIN),
+    "unigram_lm_quality": (q_unigram_lm_quality, _SQL_UNIGRAM_LM_QUALITY),
     "multimodal_fake_decode": (q_multimodal_fake_decode, _SQL_MULTIMODAL_FAKE_DECODE),
     "apply_fixes_lineitem": (q_apply_fixes_lineitem, _SQL_APPLY_FIXES_LINEITEM),
 }

@@ -201,3 +201,45 @@ def test_pii_counts_and_redaction(spark):
     assert got[1]["red"] == "mail me at [EMAIL] or [EMAIL], call [PHONE]"
     assert got[2]["red"] == "ssn [SSN] from host [IPV4]"
     assert got[3]["red"] == "nothing sensitive here"
+
+
+def test_unigram_lm_and_doc_scores(spark):
+    """Unigram LM quality scoring vs a hand-computed literal oracle:
+    Laplace-smoothed logp over the corpus vocab, OOV at the rarest seen
+    word's logp, per-doc mean over the word MULTISET (cross-entropy), NULL
+    for wordless docs."""
+    import math
+
+    from pandera_unified_validator_spark.operators.text import (
+        unigram_doc_scores,
+        unigram_lm,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b c"), (3, "   "), (4, None)],
+        "doc_id long, text string",
+    )
+    lm = unigram_lm(corpus, alpha=0.5, vocab_limit=None)
+    got_lm = {r["word"]: r["logp"] for r in lm.collect()}
+    # counts: a=3, b=2, c=1; total=6, V=3, denom = 6 + 0.5*(3+1) = 8
+    exp = {w: math.log((n + 0.5) / 8.0) for w, n in {"a": 3, "b": 2, "c": 1}.items()}
+    for w, lp in exp.items():
+        assert abs(got_lm[w] - lp) < 1e-12, w
+
+    scores = {
+        r["doc_id"]: (r["n_words"], r["mean_logp"])
+        for r in unigram_doc_scores(corpus, lm).collect()
+    }
+    assert scores[1][0] == 3
+    assert abs(scores[1][1] - (2 * exp["a"] + exp["b"]) / 3) < 1e-12
+    assert scores[2] == (3, pytest.approx((exp["a"] + exp["b"] + exp["c"]) / 3))
+    assert scores[3] == (0, None) and scores[4] == (0, None)
+
+    # OOV: unseen words take min(lm.logp) = logp(c); vocab_limit keeps the
+    # top-K words (ties by word), everything else scores as OOV
+    one = unigram_doc_scores(
+        spark.createDataFrame([(9, "z z")], "doc_id long, text string"), lm
+    ).collect()[0]
+    assert one["n_words"] == 2 and abs(one["mean_logp"] - exp["c"]) < 1e-12
+    lm2 = unigram_lm(corpus, alpha=0.5, vocab_limit=2)
+    assert {r["word"] for r in lm2.collect()} == {"a", "b"}
