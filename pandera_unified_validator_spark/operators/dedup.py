@@ -42,6 +42,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "embedding_near_dup_pairs",
     "contamination_flags",
+    "line_dedup",
     "connected_components",
     "dedup_by_components",
 ]
@@ -675,6 +676,71 @@ def contamination_flags(
         .agg(F.count(F.lit(1)).alias("overlap_grams"))
         .filter(F.col("overlap_grams") >= min_overlap)
     )
+
+
+# ------------------------------------------------------ line-level dedup ---
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_line_chars: int = 30,
+) -> DataFrame:
+    """Corpus-level exact LINE deduplication (the RefinedWeb / CCNet
+    boilerplate gate): every line of every document that is at least
+    ``min_line_chars`` long survives only at its FIRST occurrence in the
+    corpus (smallest ``(doc_id, position)``); later copies — cookie
+    banners, nav bars, licence boilerplate — are dropped from the
+    reassembled text. Short lines (headings, blanks, list stubs) are kept
+    unconditionally: deduping them would shred unrelated documents that
+    merely share a blank line.
+
+    Scale shape: one ``posexplode`` of the corpus; the winner-per-line
+    aggregation shuffles only ``(xxhash64(line), doc_id, pos)`` — 24 bytes
+    a row, never the line text — with map-side combine (``min`` of a
+    struct); the winner set joins back by hash (collisions merely
+    mis-dedup 2⁻⁶⁴-probability pairs); reassembly is one groupBy(doc) of
+    (pos, line) structs sorted in-row. Three shuffles total, text crosses
+    exactly one of them. Returns the input columns with ``text_col``
+    rewritten (line order preserved; docs reduced to nothing keep '').
+    """
+    other = [c for c in df.columns if c not in (id_col, text_col)]
+    lines = df.select(
+        F.col(id_col),
+        *other,
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias(
+            "__pos", "__line"
+        ),
+    )
+    eligible = F.length("__line") >= min_line_chars
+    winners = (
+        lines.filter(eligible)
+        .groupBy(F.xxhash64("__line").alias("__lh"))
+        .agg(F.min(F.struct(F.col(id_col), F.col("__pos"))).alias("__w"))
+        .select(
+            "__lh",
+            F.col("__w").getField(id_col).alias("__wid"),
+            F.col("__w").getField("__pos").alias("__wpos"),
+        )
+    )
+    kept = (
+        lines.join(winners, F.xxhash64(lines["__line"]) == winners["__lh"], "left")
+        .filter(
+            ~eligible
+            | ((F.col(id_col) == F.col("__wid")) & (F.col("__pos") == F.col("__wpos")))
+        )
+        .drop("__lh", "__wid", "__wpos")
+    )
+    return kept.groupBy(id_col).agg(
+        *[F.first(c).alias(c) for c in other],
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+        ).alias(text_col),
+    ).select(*df.columns)
 
 
 # ------------------------------------------------- connected components ----

@@ -10,6 +10,8 @@ return annotated DataFrames.
 
 from __future__ import annotations
 
+from functools import reduce
+from operator import add, and_
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -28,6 +30,7 @@ __all__ = [
     "redact_pii",
     "compression_ratio",
     "fingerprint",
+    "gopher_quality_flags",
     "unigram_lm",
     "unigram_doc_scores",
     "analyze_text",
@@ -354,6 +357,73 @@ def fingerprint(text: Column | str) -> Column:
         ),
     )
     return F.shiftleft(folded["a"], 31).bitwiseXOR(folded["b"])
+
+
+# ----------------------------------------------- Gopher quality rules ------
+# the published repetition-free Gopher quality filters (Rae et al. 2021,
+# §A1.1 — public paper), expressed as pure Column predicates. Thresholds are
+# the paper's.
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(text: Column | str) -> dict[str, Column]:
+    """Gopher's document-quality rules as one codegen/HOF expression set —
+    each key a boolean "passes this rule" Column (NULL text fails all):
+
+    * ``words_in_range``   — 50 ≤ word count ≤ 100,000
+    * ``mean_word_len_ok`` — mean word length in [3, 10]
+    * ``symbol_ratio_ok``  — (# + …) / words ≤ 0.1
+    * ``bullet_lines_ok``  — ≤ 90% of lines start with a bullet
+    * ``ellipsis_lines_ok``— ≤ 30% of lines end with an ellipsis
+    * ``alpha_words_ok``   — ≥ 80% of words contain a letter
+    * ``stopwords_ok``     — ≥ 2 distinct Gopher stop words present
+    * ``passes``           — AND of all of the above
+
+    Per-row expressions only (array HOFs over the doc's own words/lines —
+    the same altitude as ``quality_features``); zero shuffle, so the gate
+    composes into any scan. Intended use: ``df.filter(
+    gopher_quality_flags("text")["passes"])`` before expensive stages."""
+    c = F.col(text) if isinstance(text, str) else text
+    lc = F.lower(c)
+    ws = words(c)
+    n_words = F.size(ws)
+    safe_words = F.greatest(n_words, F.lit(1)).cast("double")
+    mean_wl = (
+        F.aggregate(ws, F.lit(0), lambda a, w: a + F.length(w)).cast("double")
+        / safe_words
+    )
+    symbols = F.regexp_count(c, F.lit(r"#|\.\.\.|…"))
+    lines = F.filter(F.split(c, "\n"), lambda l: F.trim(l) != "")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_frac = (
+        F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*•]")))
+        / n_lines
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$")))
+        / n_lines
+    )
+    alpha_frac = (
+        F.size(F.filter(ws, lambda w: w.rlike("[a-zA-Z]"))) / safe_words
+    )
+    stop_distinct = reduce(
+        add,
+        [
+            F.when(lc.rlike(rf"\b{w}\b"), 1).otherwise(0)
+            for w in _GOPHER_STOPWORDS
+        ],
+    )
+    flags = {
+        "words_in_range": (n_words >= 50) & (n_words <= 100_000),
+        "mean_word_len_ok": (mean_wl >= 3.0) & (mean_wl <= 10.0),
+        "symbol_ratio_ok": symbols.cast("double") / safe_words <= 0.1,
+        "bullet_lines_ok": bullet_frac <= 0.9,
+        "ellipsis_lines_ok": ellipsis_frac <= 0.3,
+        "alpha_words_ok": alpha_frac >= 0.8,
+        "stopwords_ok": stop_distinct >= 2,
+    }
+    passes = reduce(and_, flags.values())
+    return {k: F.coalesce(v, F.lit(False)) for k, v in {**flags, "passes": passes}.items()}
 
 
 # ------------------------------------------- unigram LM quality scoring ----

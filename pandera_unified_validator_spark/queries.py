@@ -1251,6 +1251,159 @@ FROM reach GROUP BY a ORDER BY id
 """
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher quality rules under the driver gate: per-rule
+    pass counts per source. Oracle: DuckDB re-implements every rule (word
+    bounds, mean word length, symbol ratio, bullet/ellipsis line
+    fractions, alpha-word fraction, distinct stop words) with the same
+    RE2-portable patterns and identical double arithmetic."""
+    from .operators.text import gopher_quality_flags
+
+    d = _t(spark, sf_dir, "documents")
+    flags = gopher_quality_flags("text")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            *[
+                F.sum(v.cast("long")).alias(f"n_{k}")
+                for k, v in flags.items()
+            ],
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_GOPHER_QUALITY = r"""
+WITH f AS (
+  SELECT source,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws,
+         list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines,
+         text
+  FROM documents
+),
+m AS (
+  SELECT source,
+         len(ws) AS n_words,
+         CAST(list_aggregate(list_transform(ws, x -> length(x)), 'sum') AS DOUBLE)
+           / greatest(len(ws), 1) AS mean_wl,
+         CAST(len(regexp_extract_all(text, '#|\.\.\.|…')) AS DOUBLE)
+           / greatest(len(ws), 1) AS sym_ratio,
+         CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE)
+           / greatest(len(lines), 1) AS bullet_frac,
+         CAST(len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\.\.\.|…)$'))) AS DOUBLE)
+           / greatest(len(lines), 1) AS ellipsis_frac,
+         CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
+           / greatest(len(ws), 1) AS alpha_frac,
+         (CASE WHEN regexp_matches(lower(text), '\bthe\b') THEN 1 ELSE 0 END
+        + CASE WHEN regexp_matches(lower(text), '\bbe\b') THEN 1 ELSE 0 END
+        + CASE WHEN regexp_matches(lower(text), '\bto\b') THEN 1 ELSE 0 END
+        + CASE WHEN regexp_matches(lower(text), '\bof\b') THEN 1 ELSE 0 END
+        + CASE WHEN regexp_matches(lower(text), '\band\b') THEN 1 ELSE 0 END
+        + CASE WHEN regexp_matches(lower(text), '\bthat\b') THEN 1 ELSE 0 END
+        + CASE WHEN regexp_matches(lower(text), '\bhave\b') THEN 1 ELSE 0 END
+        + CASE WHEN regexp_matches(lower(text), '\bwith\b') THEN 1 ELSE 0 END) AS stops
+  FROM f
+),
+r AS (
+  SELECT source,
+         (n_words >= 50 AND n_words <= 100000) AS words_in_range,
+         (mean_wl >= 3.0 AND mean_wl <= 10.0) AS mean_word_len_ok,
+         (sym_ratio <= 0.1) AS symbol_ratio_ok,
+         (bullet_frac <= 0.9) AS bullet_lines_ok,
+         (ellipsis_frac <= 0.3) AS ellipsis_lines_ok,
+         (alpha_frac >= 0.8) AS alpha_words_ok,
+         (stops >= 2) AS stopwords_ok
+  FROM m
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN words_in_range THEN 1 ELSE 0 END) AS BIGINT) AS n_words_in_range,
+       CAST(sum(CASE WHEN mean_word_len_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_mean_word_len_ok,
+       CAST(sum(CASE WHEN symbol_ratio_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_symbol_ratio_ok,
+       CAST(sum(CASE WHEN bullet_lines_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_bullet_lines_ok,
+       CAST(sum(CASE WHEN ellipsis_lines_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_ellipsis_lines_ok,
+       CAST(sum(CASE WHEN alpha_words_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha_words_ok,
+       CAST(sum(CASE WHEN stopwords_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_stopwords_ok,
+       CAST(sum(CASE WHEN words_in_range AND mean_word_len_ok AND symbol_ratio_ok
+                      AND bullet_lines_ok AND ellipsis_lines_ok AND alpha_words_ok
+                      AND stopwords_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_passes
+FROM r GROUP BY source ORDER BY source
+"""
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level exact line dedup under the driver gate: deterministic
+    boilerplate lines (variant = doc_id mod 3, ≥30 chars) plus a short
+    line are appended to every document; ``line_dedup`` must keep each
+    boilerplate variant only at its smallest (doc_id, pos) while keeping
+    every short line, and reassemble text in order. Oracle: DuckDB
+    replays the injection, the first-occurrence winner rule and the
+    reassembly, then compares per-source doc counts, total text length,
+    and an md5-derived integer content checksum (any reassembly
+    divergence flips the checksum)."""
+    from .operators.dedup import line_dedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    m = F.pmod(F.col("doc_id"), F.lit(3)).cast("string")
+    injected = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit("\ncookie banner boilerplate variant number "),
+            m,
+            F.lit(" accept all\nshort tail"),
+        ),
+    )
+    out = line_dedup(injected, min_line_chars=30)
+    return (
+        out.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("chars_sum"),
+            F.sum(
+                F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
+            ).alias("content_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_LINE_DEDUP = """
+WITH inj AS (
+  SELECT doc_id, source,
+         text || chr(10) || 'cookie banner boilerplate variant number '
+              || CAST(doc_id % 3 AS VARCHAR) || ' accept all'
+              || chr(10) || 'short tail' AS text
+  FROM documents
+),
+l AS (
+  SELECT doc_id, source, u.line, u.pos
+  FROM inj, LATERAL (
+    SELECT unnest(string_split(text, chr(10))) AS line,
+           generate_subscripts(string_split(text, chr(10)), 1) AS pos
+  ) AS u
+),
+w AS (
+  SELECT doc_id, source, line, pos,
+         CASE WHEN length(line) >= 30
+              THEN row_number() OVER (PARTITION BY line ORDER BY doc_id, pos)
+              ELSE 1 END AS rn
+  FROM l
+),
+rebuilt AS (
+  SELECT doc_id, any_value(source) AS source,
+         coalesce(string_agg(CASE WHEN rn = 1 THEN line END, chr(10) ORDER BY pos), '') AS text
+  FROM w GROUP BY doc_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS chars_sum,
+       CAST(sum(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS content_sum
+FROM rebuilt GROUP BY source ORDER BY source
+"""
+
+
 def q_unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality filtering under the driver gate: a unigram
     LM built from the corpus itself (top-5000 vocab, Laplace α=0.5), every
@@ -1854,6 +2007,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "near_dup_components": (q_near_dup_components, _SQL_NEAR_DUP_COMPONENTS),
     "components_deep_chain": (q_components_deep_chain, _SQL_COMPONENTS_DEEP_CHAIN),
     "unigram_lm_quality": (q_unigram_lm_quality, _SQL_UNIGRAM_LM_QUALITY),
+    "gopher_quality": (q_gopher_quality, _SQL_GOPHER_QUALITY),
+    "line_dedup": (q_line_dedup, _SQL_LINE_DEDUP),
     "multimodal_fake_decode": (q_multimodal_fake_decode, _SQL_MULTIMODAL_FAKE_DECODE),
     "apply_fixes_lineitem": (q_apply_fixes_lineitem, _SQL_APPLY_FIXES_LINEITEM),
 }

@@ -502,3 +502,33 @@ def test_connected_components_warns_on_non_convergence(spark, caplog):
     assert any("UNDER-merged" in rec.message for rec in caplog.records)
     with pytest.raises(RuntimeError, match="UNDER-merged"):
         connected_components(pairs, max_iterations=1, strict=True)
+
+
+def test_line_dedup_removes_cross_doc_boilerplate(spark):
+    """Corpus-level exact line dedup: a long boilerplate line shared by
+    three docs survives only in the smallest (doc_id, pos); short lines
+    and blanks are kept everywhere; line order within docs is preserved."""
+    from pandera_unified_validator_spark.operators.dedup import line_dedup
+
+    boiler = "accept our cookies to continue reading this wonderful site"
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique first line of doc one\n{boiler}\nshort"),
+            (2, f"{boiler}\nunique middle content of doc two goes right here"),
+            (3, f"short\n\n{boiler}"),
+            (4, None),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in line_dedup(docs, min_line_chars=30).collect()}
+    assert out[1] == f"unique first line of doc one\n{boiler}\nshort"  # first copy kept
+    assert out[2] == "unique middle content of doc two goes right here"
+    assert out[3] == "short\n"                    # blank + short lines kept
+    assert out[4] == ""                           # NULL text -> empty doc
+    # duplicate WITHIN one doc also collapses to the first position
+    within = spark.createDataFrame(
+        [(7, f"{boiler}\nmiddle line that is long enough to be eligible\n{boiler}")],
+        "doc_id int, text string",
+    )
+    got = line_dedup(within, min_line_chars=30).collect()[0]["text"]
+    assert got == f"{boiler}\nmiddle line that is long enough to be eligible"

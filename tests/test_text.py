@@ -243,3 +243,36 @@ def test_unigram_lm_and_doc_scores(spark):
     assert one["n_words"] == 2 and abs(one["mean_logp"] - exp["c"]) < 1e-12
     lm2 = unigram_lm(corpus, alpha=0.5, vocab_limit=2)
     assert {r["word"] for r in lm2.collect()} == {"a", "b"}
+
+
+def test_gopher_quality_flags(spark):
+    """Gopher rules against constructed pass/fail cases: every rule's
+    boolean must flip on exactly the trait it targets; NULL text fails."""
+    from pandera_unified_validator_spark.operators.text import gopher_quality_flags
+
+    good = ("the quick brown fox jumps over that lazy dog and then runs off "
+            "with a friendly band of animals they have known for years now ") * 3
+    docs = spark.createDataFrame(
+        [
+            (1, good),                                     # passes everything
+            (2, "too short to have fifty words"),          # words_in_range fails
+            (3, good + " ##### " * 30),                    # symbol_ratio fails
+            (4, "\n".join(["- " + good[:40]] * 20)),       # bullet_lines fails
+            (5, good.replace(" ", "1 2 ")[:800]),          # alpha fails (digits)
+            (6, None),                                     # NULL: all fail
+        ],
+        "doc_id int, text string",
+    )
+    flags = gopher_quality_flags("text")
+    rows = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id", *[v.alias(k) for k, v in flags.items()]
+        ).collect()
+    }
+    assert rows[1]["passes"] is True
+    assert rows[2]["words_in_range"] is False and rows[2]["passes"] is False
+    assert rows[3]["symbol_ratio_ok"] is False
+    assert rows[4]["bullet_lines_ok"] is False
+    assert rows[5]["alpha_words_ok"] is False
+    assert rows[6]["passes"] is False and rows[6]["words_in_range"] is False
