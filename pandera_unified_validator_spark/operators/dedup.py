@@ -695,14 +695,20 @@ def line_dedup(
     unconditionally: deduping them would shred unrelated documents that
     merely share a blank line.
 
-    Scale shape: one ``posexplode`` of the corpus; the winner-per-line
-    aggregation shuffles only ``(xxhash64(line), doc_id, pos)`` — 24 bytes
-    a row, never the line text — with map-side combine (``min`` of a
-    struct); the winner set joins back by hash (collisions merely
-    mis-dedup 2⁻⁶⁴-probability pairs); reassembly is one groupBy(doc) of
-    (pos, line) structs sorted in-row. Three shuffles total, text crosses
-    exactly one of them. Returns the input columns with ``text_col``
-    rewritten (line order preserved; docs reduced to nothing keep '').
+    Scale shape — LINE TEXT NEVER SHUFFLES ON A LINE-KEYED PARTITIONING
+    (a hot boilerplate line occurring 10⁹ times would otherwise funnel
+    every text copy to one reducer): everything line-keyed is computed on
+    a SKINNY ``(xxhash64(line), doc_id, pos)`` projection — 24 bytes a
+    row. (1) winner per hash = ``min`` of a (doc, pos) struct with
+    map-side combine (a partition's copies of the hot line collapse to
+    one candidate pre-shuffle); (2) the LOSER occurrence list (id, pos)
+    falls out of one skinny self-join (AQE skew-join can split a hot
+    hash's 24-byte rows); (3) the text-carrying rows anti-join the loser
+    list on the UNIFORM key (doc_id, pos) and (4) reassemble with one
+    groupBy(doc) of (pos, line) structs sorted in-row. Hash collisions
+    merely mis-dedup 2⁻⁶⁴-probability line pairs. Returns the input
+    columns with ``text_col`` rewritten (line order preserved; docs
+    reduced to nothing keep '').
     """
     other = [c for c in df.columns if c not in (id_col, text_col)]
     lines = df.select(
@@ -712,25 +718,23 @@ def line_dedup(
             "__pos", "__line"
         ),
     )
-    eligible = F.length("__line") >= min_line_chars
-    winners = (
-        lines.filter(eligible)
-        .groupBy(F.xxhash64("__line").alias("__lh"))
-        .agg(F.min(F.struct(F.col(id_col), F.col("__pos"))).alias("__w"))
-        .select(
-            "__lh",
-            F.col("__w").getField(id_col).alias("__wid"),
-            F.col("__w").getField("__pos").alias("__wpos"),
-        )
+    skinny = lines.select(
+        F.col(id_col),
+        F.col("__pos"),
+        F.xxhash64("__line").alias("__lh"),
+    ).filter(F.length("__line") >= min_line_chars)
+    winners = skinny.groupBy("__lh").agg(
+        F.min(F.struct(F.col(id_col), F.col("__pos"))).alias("__w")
     )
-    kept = (
-        lines.join(winners, F.xxhash64(lines["__line"]) == winners["__lh"], "left")
+    losers = (
+        skinny.join(winners, "__lh")
         .filter(
-            ~eligible
-            | ((F.col(id_col) == F.col("__wid")) & (F.col("__pos") == F.col("__wpos")))
+            (F.col(id_col) != F.col("__w").getField(id_col))
+            | (F.col("__pos") != F.col("__w").getField("__pos"))
         )
-        .drop("__lh", "__wid", "__wpos")
+        .select(id_col, "__pos")
     )
+    kept = lines.join(losers, [id_col, "__pos"], "left_anti")
     return kept.groupBy(id_col).agg(
         *[F.first(c).alias(c) for c in other],
         F.concat_ws(
