@@ -734,13 +734,26 @@ def line_dedup(
         )
         .select(id_col, "__pos")
     )
-    kept = lines.join(losers, [id_col, "__pos"], "left_anti")
-    return kept.groupBy(id_col).agg(
+    # mark losers instead of anti-joining them away: a doc whose EVERY line
+    # is a dropped duplicate must still come back (with ''), and the marker
+    # join keeps at least one (marked) row per doc for the reassembly group.
+    # collect_list skips the NULL structs of dropped lines.
+    marked = lines.join(
+        losers.withColumn("__drop", F.lit(True)), [id_col, "__pos"], "left"
+    )
+    return marked.groupBy(id_col).agg(
         *[F.first(c).alias(c) for c in other],
         F.concat_ws(
             "\n",
             F.transform(
-                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__drop").isNull(),
+                            F.struct("__pos", "__line"),
+                        )
+                    )
+                ),
                 lambda s: s["__line"],
             ),
         ).alias(text_col),

@@ -211,3 +211,58 @@ def test_shingle_hashes_gram_identity_property(spark, texts, k):
         assert len(s[a]) == len(h[a])
         for b in s:
             assert len(s[a] & s[b]) == len(h[a] & h[b])
+
+
+@SET
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(
+                [
+                    "",  # blank line
+                    "short",
+                    "x" * 35,                      # eligible, constant -> dups
+                    "boilerplate line repeated across documents alpha",
+                    "boilerplate line repeated across documents beta!",
+                    "a genuinely unique-ish line padded to eligibility zz",
+                ]
+            ),
+            min_size=0,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_line_dedup_properties(spark, docs):
+    """Properties vs a python reference: (1) output equals the reference
+    first-occurrence dedup; (2) idempotence — running line_dedup on its own
+    output changes nothing; (3) short/blank lines always survive."""
+    from pandera_unified_validator_spark.operators.dedup import line_dedup
+
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    # python reference: first (doc_id, pos) occurrence of eligible lines wins
+    seen = set()
+    expected = {}
+    for i, text in rows:
+        out = []
+        for line in text.split("\n"):
+            if len(line) < 30:
+                out.append(line)
+            elif line not in seen:
+                seen.add(line)
+                out.append(line)
+        expected[i] = "\n".join(out)
+
+    got = {r["doc_id"]: r["text"] for r in line_dedup(df, min_line_chars=30).collect()}
+    assert got == expected
+    got2 = {
+        r["doc_id"]: r["text"]
+        for r in line_dedup(
+            spark.createDataFrame(sorted(got.items()), "doc_id int, text string"),
+            min_line_chars=30,
+        ).collect()
+    }
+    assert got2 == got
