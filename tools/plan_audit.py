@@ -153,6 +153,37 @@ def main() -> None:
         )
     )
 
+    from pandera_unified_validator_spark.operators.dedup import line_dedup
+
+    sections.append(
+        (
+            "Corpus-level line dedup (round-5)",
+            "Line TEXT never shuffles on a line-keyed partitioning: the "
+            "winner/loser computation runs on a skinny (hash, doc, pos) "
+            "projection (map-side-combined min; a hot boilerplate line "
+            "collapses to one candidate per partition pre-shuffle); text "
+            "crosses only the uniform (doc, pos) marker join and the "
+            "reassembly groupBy(doc).",
+            plan_of(line_dedup(docs, min_line_chars=10)),
+        )
+    )
+
+    from pandera_unified_validator_spark.operators.text import (
+        unigram_doc_scores,
+        unigram_lm,
+    )
+
+    lm = unigram_lm(docs, vocab_limit=1000)
+    sections.append(
+        (
+            "Unigram LM doc scoring (round-5)",
+            "The LM (≤ vocab_limit rows by construction) BROADCASTS; the "
+            "corpus explodes once to (doc, word) and only (doc, logp) pairs "
+            "reach the map-side-combined per-doc aggregation.",
+            plan_of(unigram_doc_scores(docs, lm)),
+        )
+    )
+
     out = ["# PLAN — physical-plan audit (generated by tools/plan_audit.py)\n"]
     for title, why, plan in sections:
         s = summarize(plan)
