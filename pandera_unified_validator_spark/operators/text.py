@@ -30,6 +30,9 @@ __all__ = [
     "redact_pii",
     "compression_ratio",
     "fingerprint",
+    "extract_urls",
+    "extract_domains",
+    "url_flags",
     "gopher_quality_flags",
     "unigram_lm",
     "unigram_doc_scores",
@@ -357,6 +360,59 @@ def fingerprint(text: Column | str) -> Column:
         ),
     )
     return F.shiftleft(folded["a"], 31).bitwiseXOR(folded["b"])
+
+
+# ------------------------------------------------- URL / domain hygiene ----
+# portable across Java regex (Spark) and RE2 (DuckDB): no lookarounds, no \s
+# shorthand inside classes, explicit path charset (quotes excluded so the
+# pattern embeds in SQL string literals unescaped)
+URL_REGEX = r"https?://[A-Za-z0-9.-]+(:[0-9]+)?(/[A-Za-z0-9._~:/?#@!$&*+,;=%-]*)?"
+_DOMAIN_REGEX = r"https?://([A-Za-z0-9.-]+)"
+
+
+def extract_urls(text: Column | str) -> Column:
+    """Every http(s) URL in the text, in order — codegen
+    ``regexp_extract_all`` (group 0, the full match)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(URL_REGEX), 0)
+
+
+def extract_domains(text: Column | str, lowercase: bool = True) -> Column:
+    """Distinct registrable hosts referenced by the text (scheme and port
+    stripped, lowercased by default) — the key the standard domain
+    block/allow-list corpus gate (RefinedWeb's URL filtering stage) joins
+    on."""
+    urls = extract_urls(text)
+    doms = F.transform(urls, lambda u: F.regexp_extract(u, _DOMAIN_REGEX, 1))
+    if lowercase:
+        doms = F.transform(doms, F.lower)
+    return F.array_distinct(doms)
+
+
+def url_flags(
+    text: Column | str, blocked_domains: Sequence[str] = ()
+) -> dict[str, Column]:
+    """URL-hygiene signals per document: ``n_urls`` (total mentions),
+    ``n_domains`` (distinct hosts), and ``blocked`` — TRUE when any
+    referenced domain OR one of its parents is on ``blocked_domains``
+    (``ads.evil.com`` is blocked by an entry ``evil.com``). The blocklist
+    is embedded as literals — right for curated lists up to a few
+    thousand entries (one codegen projection, zero shuffle); join
+    ``extract_domains`` against a broadcast DataFrame for web-scale
+    lists. NULL text yields NULL counts and ``blocked = false``."""
+    urls = extract_urls(text)
+    doms = extract_domains(text)
+    blocked = F.lit(False)
+    for b in blocked_domains:
+        b = b.lower()
+        blocked = blocked | F.exists(
+            doms, lambda d: (d == b) | d.endswith("." + b)
+        )
+    return {
+        "n_urls": F.size(urls),
+        "n_domains": F.size(doms),
+        "blocked": F.coalesce(blocked, F.lit(False)),
+    }
 
 
 # ----------------------------------------------- Gopher quality rules ------

@@ -1251,6 +1251,72 @@ FROM reach GROUP BY a ORDER BY id
 """
 
 
+def q_url_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/domain corpus gate under the driver: deterministic URLs
+    (variant = doc_id mod 4; one variant is a subdomain of a blocked
+    parent, one has no URL) are appended to documents, then counted and
+    blocklist-flagged per source with the codegen ``url_flags``. Oracle:
+    DuckDB runs the IDENTICAL RE2-portable URL/domain regexes and suffix
+    rule, so counts and blocked totals must agree exactly."""
+    from .operators.text import url_flags
+
+    d = _t(spark, sf_dir, "documents")
+    m = F.pmod(F.col("doc_id"), F.lit(4))
+    injected = d.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(m == 0, F.lit(" see https://good.example.org/page for details"))
+            .when(m == 1, F.lit(" via http://cdn.assets.net:8080/lib.js today"))
+            .when(m == 2, F.lit(" tracked by https://ads.tracker.net/pixel?id=1 now"))
+            .otherwise(F.lit(" no links in this one")),
+        ).alias("text"),
+    )
+    flags = url_flags("text", blocked_domains=["tracker.net"])
+    return (
+        injected.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(flags["n_urls"].cast("long")).alias("urls_sum"),
+            F.sum(flags["n_domains"].cast("long")).alias("domains_sum"),
+            F.sum(flags["blocked"].cast("long")).alias("n_blocked"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_URL_HYGIENE = """
+WITH inj AS (
+  SELECT doc_id, source,
+         text || CASE doc_id % 4
+           WHEN 0 THEN ' see https://good.example.org/page for details'
+           WHEN 1 THEN ' via http://cdn.assets.net:8080/lib.js today'
+           WHEN 2 THEN ' tracked by https://ads.tracker.net/pixel?id=1 now'
+           ELSE ' no links in this one' END AS text
+  FROM documents
+),
+f AS (
+  SELECT source,
+         len(regexp_extract_all(text,
+             'https?://[A-Za-z0-9.-]+(:[0-9]+)?(/[A-Za-z0-9._~:/?#@!$&*+,;=%-]*)?')) AS n_urls,
+         list_distinct(list_transform(
+             regexp_extract_all(text,
+               'https?://[A-Za-z0-9.-]+(:[0-9]+)?(/[A-Za-z0-9._~:/?#@!$&*+,;=%-]*)?'),
+             u -> lower(regexp_extract(u, 'https?://([A-Za-z0-9.-]+)', 1)))) AS doms
+  FROM inj
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_urls) AS BIGINT) AS urls_sum,
+       CAST(sum(len(doms)) AS BIGINT) AS domains_sum,
+       CAST(sum(CASE WHEN len(list_filter(doms,
+             d -> d = 'tracker.net' OR ends_with(d, '.tracker.net'))) > 0
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked
+FROM f GROUP BY source ORDER BY source
+"""
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The published Gopher quality rules under the driver gate: per-rule
     pass counts per source. Oracle: DuckDB re-implements every rule (word
@@ -2008,6 +2074,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "components_deep_chain": (q_components_deep_chain, _SQL_COMPONENTS_DEEP_CHAIN),
     "unigram_lm_quality": (q_unigram_lm_quality, _SQL_UNIGRAM_LM_QUALITY),
     "gopher_quality": (q_gopher_quality, _SQL_GOPHER_QUALITY),
+    "url_hygiene": (q_url_hygiene, _SQL_URL_HYGIENE),
     "line_dedup": (q_line_dedup, _SQL_LINE_DEDUP),
     "multimodal_fake_decode": (q_multimodal_fake_decode, _SQL_MULTIMODAL_FAKE_DECODE),
     "apply_fixes_lineitem": (q_apply_fixes_lineitem, _SQL_APPLY_FIXES_LINEITEM),

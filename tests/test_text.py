@@ -276,3 +276,35 @@ def test_gopher_quality_flags(spark):
     assert rows[4]["bullet_lines_ok"] is False
     assert rows[5]["alpha_words_ok"] is False
     assert rows[6]["passes"] is False and rows[6]["words_in_range"] is False
+
+
+def test_url_extraction_and_blocklist(spark):
+    from pandera_unified_validator_spark.operators.text import (
+        extract_domains,
+        url_flags,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "see https://Example.org/page and http://example.org:8080/x plus https://other.net/"),
+            (2, "tracked via https://ads.evil.com/pixel?id=7 end"),
+            (3, "no links here"),
+            (4, None),
+        ],
+        "doc_id int, text string",
+    )
+    flags = url_flags("text", blocked_domains=["evil.com"])
+    rows = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id",
+            extract_domains("text").alias("doms"),
+            *[v.alias(k) for k, v in flags.items()],
+        ).collect()
+    }
+    assert rows[1]["n_urls"] == 3 and rows[1]["n_domains"] == 2
+    assert sorted(rows[1]["doms"]) == ["example.org", "other.net"]
+    assert rows[1]["blocked"] is False
+    assert rows[2]["blocked"] is True          # subdomain of a blocked parent
+    assert rows[3] and rows[3]["n_urls"] == 0 and rows[3]["blocked"] is False
+    assert rows[4]["n_urls"] is None and rows[4]["blocked"] is False
