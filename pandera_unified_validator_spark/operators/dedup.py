@@ -42,6 +42,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "embedding_near_dup_pairs",
     "contamination_flags",
+    "token_contamination_flags",
     "line_dedup",
     "connected_components",
     "dedup_by_components",
@@ -669,6 +670,51 @@ def contamination_flags(
     ).select(
         F.col(id_col),
         F.explode(F.array_distinct(_gram_hashes(F.col("__whh"), n))).alias("__g"),
+    )
+    return (
+        doc_grams.join(bench_grams, "__g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("overlap_grams"))
+        .filter(F.col("overlap_grams") >= min_overlap)
+    )
+
+
+def token_contamination_flags(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    *,
+    bench_tokens_col: str | None = None,
+    n: int = 8,
+    min_overlap: int = 1,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """``contamination_flags`` for PRE-TOKENIZED sequences (the north-star
+    table shape: ``tokens array<int>``): flag corpus sequences sharing ≥
+    ``min_overlap`` distinct token ``n``-grams with ANY benchmark
+    sequence — eval-set decontamination computed directly on token ids,
+    no detokenization. Gram identity = ``xxhash64`` over the n token
+    hashes (``_gram_hashes``), the same machinery as the text path, so
+    the scale shape is identical: the benchmark's distinct gram set
+    broadcasts, the corpus explodes once into (id, gram-hash) longs, and
+    only flagged (id, overlap_grams) rows come back."""
+    bench_tok = bench_tokens_col or tokens_col
+    bench_grams = (
+        benchmark.select(
+            F.transform(F.col(bench_tok), lambda t: F.xxhash64(t)).alias("__thh")
+        )
+        .select(F.explode(_gram_hashes(F.col("__thh"), n)).alias("__g"))
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
+    doc_grams = df.select(
+        F.col(id_col),
+        F.transform(F.col(tokens_col), lambda t: F.xxhash64(t)).alias("__thh"),
+    ).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_gram_hashes(F.col("__thh"), n))).alias("__g"),
     )
     return (
         doc_grams.join(bench_grams, "__g")

@@ -1251,6 +1251,67 @@ FROM reach GROUP BY a ORDER BY id
 """
 
 
+def q_token_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination on PRE-TOKENIZED sequences under the driver gate
+    (the north-star table shape): deterministic token arrays are derived
+    from documents (token = word length — replayable in any engine), a
+    1-in-97-docs benchmark set is carved out, and
+    ``token_contamination_flags`` flags corpus sequences sharing ≥1
+    distinct token 8-gram with the benchmark. Oracle: DuckDB rebuilds the
+    same arrays and compares raw n-gram tuples (gram identity equals the
+    engine's hash-combined grams up to 2⁻⁶⁴ collisions)."""
+    from .operators.dedup import token_contamination_flags
+    from .operators.text import words
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.transform(words("text"), F.length).alias("tokens"),
+    )
+    bench = toks.filter(F.col("doc_id") % 97 == 0)
+    flagged = token_contamination_flags(toks, bench, n=8)
+    return (
+        toks.join(flagged, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_flagged"),
+            F.sum("overlap_grams").alias("overlap_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_TOKEN_CONTAMINATION = r"""
+WITH w AS (
+  SELECT doc_id, source,
+         list_transform(
+           list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''),
+           x -> length(x)) AS tk
+  FROM documents
+),
+bg AS (
+  SELECT DISTINCT array_to_string(list_slice(tk, i, i + 7), ',') AS g
+  FROM w, unnest(generate_series(1, greatest(len(tk) - 7, 1))) AS t(i)
+  WHERE doc_id % 97 = 0 AND len(tk) > 0
+),
+dg AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(tk, i, i + 7), ',') AS g
+  FROM w, unnest(generate_series(1, greatest(len(tk) - 7, 1))) AS t(i)
+  WHERE len(tk) > 0
+),
+fl AS (
+  SELECT dg.doc_id, count(*) AS ov
+  FROM dg JOIN bg USING (g) GROUP BY dg.doc_id
+)
+SELECT w.source,
+       CAST(count(*) AS BIGINT) AS n_flagged,
+       CAST(sum(fl.ov) AS BIGINT) AS overlap_sum
+FROM fl JOIN w ON fl.doc_id = w.doc_id
+GROUP BY w.source ORDER BY w.source
+"""
+
+
 def q_url_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL/domain corpus gate under the driver: deterministic URLs
     (variant = doc_id mod 4; one variant is a subdomain of a blocked
@@ -2075,6 +2136,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "unigram_lm_quality": (q_unigram_lm_quality, _SQL_UNIGRAM_LM_QUALITY),
     "gopher_quality": (q_gopher_quality, _SQL_GOPHER_QUALITY),
     "url_hygiene": (q_url_hygiene, _SQL_URL_HYGIENE),
+    "token_contamination": (q_token_contamination, _SQL_TOKEN_CONTAMINATION),
     "line_dedup": (q_line_dedup, _SQL_LINE_DEDUP),
     "multimodal_fake_decode": (q_multimodal_fake_decode, _SQL_MULTIMODAL_FAKE_DECODE),
     "apply_fixes_lineitem": (q_apply_fixes_lineitem, _SQL_APPLY_FIXES_LINEITEM),

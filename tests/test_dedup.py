@@ -532,3 +532,33 @@ def test_line_dedup_removes_cross_doc_boilerplate(spark):
     )
     got = line_dedup(within, min_line_chars=30).collect()[0]["text"]
     assert got == f"{boiler}\nmiddle line that is long enough to be eligible"
+
+
+def test_token_contamination_flags(spark):
+    """Token-level decontamination on pre-tokenized sequences: a corpus
+    sequence embedding a benchmark 8-gram of token ids is flagged; one
+    with no shared 8-gram is not; short sequences compare whole-sequence."""
+    from pandera_unified_validator_spark.operators.dedup import (
+        token_contamination_flags,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, list(range(10, 22)))], "qid int, tokens array<int>"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, list(range(5, 25))),          # contains 10..21 -> shares 8-grams
+            (2, list(range(50, 70))),         # disjoint ids
+            (3, [10, 11, 12]),                # short: whole-seq gram, no match
+            (4, list(range(10, 18))),         # exactly one benchmark 8-gram
+        ],
+        "doc_id int, tokens array<int>",
+    )
+    got = {
+        r["doc_id"]: r["overlap_grams"]
+        for r in token_contamination_flags(
+            corpus, bench, n=8, bench_tokens_col="tokens"
+        ).collect()
+    }
+    assert set(got) == {1, 4}
+    assert got[1] == 5 and got[4] == 1  # windows of 10..21 inside 5..24: 5
