@@ -1251,6 +1251,79 @@ FROM reach GROUP BY a ORDER BY id
 """
 
 
+def q_stream_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus text-analysis operators composed with REAL Structured
+    Streaming: documents replayed through the file source, per-source
+    quality signals (doc count, whitespace token sum, char sum, mean
+    punctuation ratio) maintained by a stateful streaming aggregation in
+    update mode — the shape of a continuous ingest-quality monitor. The
+    final update per source IS the complete aggregate (state accumulates
+    across micro-batches), selected as the row with the maximal running
+    doc count. Oracle: the batch equivalent in DuckDB — stream/batch
+    equivalence for a deterministic stateful aggregation."""
+    from .operators.text import quality_features, token_count_whitespace
+
+    path = f"{sf_dir}/documents.parquet"
+    sch = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(sch).parquet(f"{sf_dir}/documents.*")
+    feats = quality_features("text")
+    agg = (
+        stream.select(
+            "source",
+            token_count_whitespace("text").alias("__nw"),
+            F.length("text").alias("__nc"),
+            feats["punct_ratio"].alias("__pr"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__nw").alias("words_sum"),
+            F.sum("__nc").alias("chars_sum"),
+            F.avg("__pr").alias("__punct_avg"),
+        )
+    )
+    name = "puv_stream_text_quality"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode: the per-source row with the max running n_docs is final
+    final = (
+        spark.table(name)
+        .groupBy("source")
+        .agg(F.max_by(F.struct("n_docs", "words_sum", "chars_sum", "__punct_avg"), "n_docs").alias("f"))
+    )
+    return final.select(
+        "source",
+        F.col("f.n_docs").alias("n_docs"),
+        F.col("f.words_sum").alias("words_sum"),
+        F.col("f.chars_sum").alias("chars_sum"),
+        F.round(F.col("f.__punct_avg"), 4).alias("punct_avg"),
+    ).orderBy("source")
+
+
+_SQL_STREAM_TEXT_QUALITY = r"""
+WITH f AS (
+  SELECT source,
+         len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS nw,
+         length(text) AS nc,
+         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+           / greatest(length(text), 1) AS pr
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nw) AS BIGINT) AS words_sum,
+       CAST(sum(nc) AS BIGINT) AS chars_sum,
+       round(avg(pr), 4) AS punct_avg
+FROM f GROUP BY source ORDER BY source
+"""
+
+
 def q_token_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination on PRE-TOKENIZED sequences under the driver gate
     (the north-star table shape): deterministic token arrays are derived
@@ -2137,6 +2210,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "gopher_quality": (q_gopher_quality, _SQL_GOPHER_QUALITY),
     "url_hygiene": (q_url_hygiene, _SQL_URL_HYGIENE),
     "token_contamination": (q_token_contamination, _SQL_TOKEN_CONTAMINATION),
+    "stream_text_quality": (q_stream_text_quality, _SQL_STREAM_TEXT_QUALITY),
     "line_dedup": (q_line_dedup, _SQL_LINE_DEDUP),
     "multimodal_fake_decode": (q_multimodal_fake_decode, _SQL_MULTIMODAL_FAKE_DECODE),
     "apply_fixes_lineitem": (q_apply_fixes_lineitem, _SQL_APPLY_FIXES_LINEITEM),
