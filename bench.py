@@ -80,10 +80,15 @@ def main() -> None:
     # untimed session warmup: first query otherwise pays JVM/codegen startup
     entry_query(spark, sf_dir).collect()
 
-    # headline: every driver-contract query at sf_dir (collect forces full plan)
+    # headline: every driver-contract query at sf_dir (collect forces full
+    # plan); each query's operator-level persists release at scope exit so
+    # a 50+-query session never accretes cached plans
+    from pandera_unified_validator_spark.utils.cache import operator_cache_scope
+
     for name, (fn, _sql) in QUERIES.items():
         t0 = time.time()
-        fn(spark, sf_dir).collect()
+        with operator_cache_scope():
+            fn(spark, sf_dir).collect()
         timings[name] = round(time.time() - t0, 3)
 
     t0 = time.time()

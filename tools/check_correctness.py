@@ -49,6 +49,7 @@ def main() -> int:
     import __spark_entry__ as entry_mod
 
     from pandera_unified_validator_spark.session import get_spark
+    from pandera_unified_validator_spark.utils.cache import operator_cache_scope
 
     spark = get_spark("correctness", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
@@ -65,9 +66,14 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            # scope: operator-level persists/checkpoints (minhash signature
+            # store, embedding tagged corpus, CC labels) release once the
+            # query's rows are collected — a 53-query session must not
+            # accrete cached plans
+            with operator_cache_scope():
+                sdf = fn(spark, sf_dir)
+                scols = sdf.columns
+                srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
