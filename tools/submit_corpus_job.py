@@ -1,0 +1,187 @@
+"""spark-submit entry point: the full corpus-curation pipeline end-to-end on
+a cluster — the companion to ``tools/submit_job.py`` (validation) covering
+the training-data operators.
+
+Stages (each a first-class operator of this engine): corpus-level line dedup
+→ Gopher quality gate → URL blocklist → MinHash near-dup + connected-
+components keep-one → unigram-LM quality floor → deterministic stratified
+sample → write parquet + one JSON summary line. Operator caches (signature
+store, CC label checkpoints) are released via ``operator_cache_scope`` once
+the output is written — the long-lived-session hygiene the cache registry
+exists for.
+
+Packaging / cluster run (north rule "spark-submit --py-files"):
+
+    python tools/package.py                      # → dist/puv_spark.zip
+    spark-submit --master spark://host:7077 --py-files dist/puv_spark.zip \\
+        tools/submit_corpus_job.py --input hdfs://.../docs \\
+        --output hdfs://.../curated --report corpus_report.json
+
+Local smoke (CI / this sandbox):
+
+    python tools/submit_corpus_job.py --input /tmp/corpus_in \\
+        --output /tmp/corpus_out --synthesize 20000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def synthesize_corpus(spark, path: str, n: int) -> None:
+    """Deterministic dirty corpus: repeated boilerplate lines (line-dedup
+    prey), whole-doc near-duplicates (minhash prey), a blocked-domain URL
+    cohort, a gibberish cohort (Gopher prey), across 4 sources."""
+    from pyspark.sql import functions as F
+
+    # glue: enough Gopher stopwords to pass the gate, but few enough shared
+    # words that CROSS-cluster jaccard (~13/135 ≈ 0.1) sits far below the
+    # LSH S-curve midpoint (0.5 at 16 bands x 4 rows) — cross-cluster docs
+    # must not even become candidates, or candidate generation goes
+    # quadratic (the first draft shared ~80 words -> j≈0.45 -> ~half of ALL
+    # doc pairs were candidates -> OOM; that IS the S-curve lesson).
+    glue = (
+        "the story of a walk and the long road with friends that have arrived "
+    )
+    cluster = F.floor(F.col("id") / 4)  # near-dup clusters of 4 docs
+    cluster_words = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(60)),
+            lambda j: F.concat(
+                F.lit("c"), cluster.cast("string"), F.lit("w"), j.cast("string")
+            ),
+        ),
+    )
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        # source derives from the CLUSTER, not the raw id: keep-one dedup
+        # retains each cluster's min id, and id-mod-4 sources would make
+        # every surviving representative src0 (cluster size == source
+        # modulus — a fun deterministic artifact of the first draft)
+        F.concat(F.lit("src"), F.pmod(cluster, F.lit(4)).cast("string")).alias("source"),
+        F.concat(
+            # shared boilerplate line, 8 variants -> cross-doc duplicate lines
+            F.lit("subscribe to our newsletter variant "),
+            F.pmod("id", F.lit(8)).cast("string"),
+            F.lit(" for updates today\n"),
+            F.when(
+                F.pmod("id", F.lit(13)) == 0,
+                # gibberish cohort: no stopwords, digit-heavy (Gopher prey)
+                F.lit("9$73 zz9!! 00@@1 xx##7 " * 40),
+            ).otherwise(
+                # body line UNIQUE per doc (survives line dedup) but
+                # shingle-near-identical within its 4-doc cluster (minhash
+                # prey: ~97% jaccard in-cluster, ~10% across clusters)
+                F.concat(
+                    F.lit(glue), cluster_words,
+                    F.lit(" item "), F.col("id").cast("string"),
+                )
+            ),
+            F.lit("\ntail token "),
+            F.pmod("id", F.lit(997)).cast("string"),
+            # 1-in-11 docs link a blocked domain (doc-unique URL so the ad
+            # line is NOT swallowed by line dedup before the URL gate)
+            F.when(
+                F.pmod("id", F.lit(11)) == 0,
+                F.concat(
+                    F.lit("\nsee https://ads.blocked.example/pixel?id="),
+                    F.col("id").cast("string"),
+                    F.lit(" now"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    df.repartition(8).write.mode("overwrite").parquet(path)
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--report", default=None)
+    p.add_argument("--synthesize", type=int, default=0)
+    p.add_argument("--blocklist", default="blocked.example")
+    p.add_argument("--lm-drop-pct", type=float, default=10.0,
+                   help="drop the worst N%% of docs by unigram-LM mean logp "
+                        "(percentile-calibrated like CCNet's perplexity "
+                        "buckets — an absolute floor would need per-corpus "
+                        "tuning)")
+    p.add_argument("--sample", default="src0=1.0,src1=1.0,src2=0.5,src3=0.5")
+    args = p.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = SparkSession.builder.appName("puv-corpus-pipeline").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from pandera_unified_validator_spark.operators.dedup import (
+        dedup_by_components,
+        line_dedup,
+        minhash_dedup_pairs,
+    )
+    from pandera_unified_validator_spark.operators.sampling import stratified_sample
+    from pandera_unified_validator_spark.operators.text import (
+        gopher_quality_flags,
+        unigram_doc_scores,
+        unigram_lm,
+        url_flags,
+    )
+    from pandera_unified_validator_spark.utils.cache import operator_cache_scope
+
+    if args.synthesize:
+        synthesize_corpus(spark, args.input, args.synthesize)
+
+    corpus = spark.read.parquet(args.input)
+    stages: dict[str, int] = {"input": corpus.count()}
+
+    with operator_cache_scope():
+        step = line_dedup(corpus, min_line_chars=30)
+        step = step.filter(gopher_quality_flags("text")["passes"])
+        stages["after_line_dedup_and_gopher"] = step.count()
+
+        blocked = [d for d in args.blocklist.split(",") if d]
+        step = step.filter(~url_flags("text", blocked)["blocked"])
+        stages["after_url_filter"] = step.count()
+
+        pairs = minhash_dedup_pairs(step, "doc_id", "text", jaccard_threshold=0.8)
+        step = dedup_by_components(step, pairs, "doc_id")
+        stages["after_near_dup"] = step.count()
+
+        lm = unigram_lm(step, vocab_limit=1_000_000)
+        scores = unigram_doc_scores(step, lm)
+        floor = scores.approxQuantile("mean_logp", [args.lm_drop_pct / 100.0], 0.001)[0]
+        good = scores.filter(F.col("mean_logp") > floor)
+        step = step.join(good.select("doc_id"), "doc_id")
+        stages["after_lm_floor"] = step.count()
+
+        fractions = {
+            k: float(v) for k, v in (kv.split("=") for kv in args.sample.split(","))
+        }
+        step = stratified_sample(step, "source", fractions, "doc_id")
+        step.write.mode("overwrite").parquet(args.output)
+
+    stages["written"] = spark.read.parquet(args.output).count()
+    n_rdds = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    summary = {
+        "stages": stages,
+        "kept_ratio": round(stages["written"] / max(stages["input"], 1), 4),
+        "persistent_rdds_after_scope": n_rdds,
+        "executors": spark.sparkContext.defaultParallelism,
+    }
+    print(json.dumps(summary))
+    if args.report:
+        with open(args.report, "w") as f:
+            json.dump(summary, f, indent=2)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
