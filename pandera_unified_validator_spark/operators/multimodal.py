@@ -30,6 +30,8 @@ __all__ = [
     "decode_bmp",
     "encode_png",
     "decode_png",
+    "encode_jpeg",
+    "decode_jpeg",
     "encode_wav",
     "decode_wav",
     "decode_image_features",
@@ -242,6 +244,416 @@ def decode_png(payload: bytes):
     return arr
 
 
+# --------------------------------------------------------------- JPEG ------
+# Baseline JPEG (ITU-T T.81, public spec): 8-bit, 4:4:4 (no subsampling),
+# one interleaved scan, the Annex-K quantization + huffman tables, IJG
+# quality scaling. Encoder and decoder are independent implementations of
+# the spec (matrix DCT vs matrix IDCT, forward vs canonical-code huffman),
+# so a round trip exercises both directions for real. stdlib + numpy only.
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+_Q_LUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+]
+_Q_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# Annex K huffman specs: (BITS[1..16], HUFFVAL)
+_HUFF_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HUFF_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HUFF_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_HUFF_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _jpeg_qtables(quality: int):
+    import numpy as np
+
+    q = min(max(int(quality), 1), 100)
+    sf = 5000 // q if q < 50 else 200 - 2 * q
+    out = []
+    for base in (_Q_LUMA, _Q_CHROMA):
+        t = (np.array(base, dtype=np.int64) * sf + 50) // 100
+        out.append(np.clip(t, 1, 255).astype(np.int32))
+    return out  # [luma64, chroma64], natural row-major order
+
+
+def _dct_mat():
+    import numpy as np
+
+    x = np.arange(8)
+    u = x[:, None]
+    t = np.cos((2 * x[None, :] + 1) * u * np.pi / 16) / 2.0
+    t[0] /= np.sqrt(2.0)
+    return t
+
+
+def _huff_codes(bits, vals):
+    """Canonical JPEG huffman: symbol → (code, length)."""
+    code, k, out = 0, 0, {}
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decoder(bits, vals):
+    """(length, code) → symbol for the bit-at-a-time reader."""
+    code, k, out = 0, 0, {}
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.nbits -= 8
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)  # pad 1s
+        return bytes(self.buf)
+
+
+def _mag_bits(v: int):
+    """JPEG magnitude category: value → (size, bits)."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    s = a.bit_length()
+    return s, (v if v > 0 else v + (1 << s) - 1)
+
+
+def encode_jpeg(arr, quality: int = 90) -> bytes:
+    """RGB uint8 array (h, w, 3) → baseline JFIF bytes (4:4:4, Annex-K
+    huffman tables, IJG quality scaling). Lossy by nature: flat areas
+    round-trip exactly (all post-quantization coefficients are 0 or exact);
+    natural gradients come back within a few levels at quality ≥ 90."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, ch = a.shape
+    if ch != 3:
+        raise ValueError("encode_jpeg expects RGB (h, w, 3)")
+    rgb = a.astype(np.float64)
+    y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    cb = 128.0 - 0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2]
+    cr = 128.0 + 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2]
+    comps = [y, cb, cr]
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    qt = _jpeg_qtables(quality)
+    t = _dct_mat()
+    enc_dc = [_huff_codes(*_HUFF_DC_LUMA), _huff_codes(*_HUFF_DC_CHROMA)]
+    enc_ac = [_huff_codes(*_HUFF_AC_LUMA), _huff_codes(*_HUFF_AC_CHROMA)]
+    zz = np.array(_ZIGZAG)
+    bw = _BitWriter()
+    prev_dc = [0, 0, 0]
+    padded = []
+    for c in comps:
+        p = np.empty((ph, pw))
+        p[:h, :w] = c
+        p[h:, :w] = c[h - 1 : h, :]  # edge replicate
+        p[:, w:] = p[:, w - 1 : w]
+        padded.append(p - 128.0)
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            for ci in range(3):
+                ti = 0 if ci == 0 else 1
+                blk = padded[ci][by : by + 8, bx : bx + 8]
+                coef = t @ blk @ t.T
+                qc = np.round(coef.ravel()[zz] / qt[ti][zz].astype(np.float64))
+                qc = qc.astype(np.int32)
+                dc = int(qc[0])
+                s, b = _mag_bits(dc - prev_dc[ci])
+                prev_dc[ci] = dc
+                code, ln = enc_dc[ti][s]
+                bw.write(code, ln)
+                if s:
+                    bw.write(b, s)
+                run = 0
+                last_nz = max(np.nonzero(qc)[0]) if np.any(qc) else 0
+                for i in range(1, 64):
+                    v = int(qc[i])
+                    if i > last_nz:
+                        break
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = enc_ac[ti][0xF0]  # ZRL
+                        bw.write(code, ln)
+                        run -= 16
+                    s, b = _mag_bits(v)
+                    code, ln = enc_ac[ti][run * 16 + s]
+                    bw.write(code, ln)
+                    bw.write(b, s)
+                    run = 0
+                if last_nz < 63:
+                    code, ln = enc_ac[ti][0x00]  # EOB
+                    bw.write(code, ln)
+    data = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def dht(tc: int, th: int, spec) -> bytes:
+        bits, vals = spec
+        return bytes([tc * 16 + th]) + bytes(bits) + bytes(vals)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + bytes(int(qt[0][i]) for i in _ZIGZAG))
+    out += seg(0xFFDB, b"\x01" + bytes(int(qt[1][i]) for i in _ZIGZAG))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+        sof += bytes([cid, 0x11, tq])  # 1x1 sampling: 4:4:4
+    out += seg(0xFFC0, sof)
+    out += seg(0xFFC4, dht(0, 0, _HUFF_DC_LUMA))
+    out += seg(0xFFC4, dht(1, 0, _HUFF_AC_LUMA))
+    out += seg(0xFFC4, dht(0, 1, _HUFF_DC_CHROMA))
+    out += seg(0xFFC4, dht(1, 1, _HUFF_AC_CHROMA))
+    sos = bytes([3]) + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + bytes([0, 63, 0])
+    out += seg(0xFFDA, sos)
+    out += data
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy data exhausted")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else None
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    raise NotImplementedError(
+                        f"unexpected marker 0xFF{nxt:02X} in scan (restart "
+                        "intervals not supported)"
+                    )
+            self.acc = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _extend(v: int, s: int) -> int:
+    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(payload: bytes):
+    """Baseline JFIF bytes → RGB uint8 array (h, w, 3). Supports 8-bit
+    baseline SOF0, 1 or 3 components, 1x1 sampling (4:4:4) only — anything
+    else raises ``NotImplementedError`` rather than mis-decoding."""
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos, n = 2, len(payload)
+    qtables: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    scan = None
+    data_start = None
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = struct.unpack_from(">H", payload, pos)[0]
+        if marker == 0xFFD9:
+            break
+        ln = struct.unpack_from(">H", payload, pos + 2)[0]
+        body = payload[pos + 4 : pos + 2 + ln]
+        if marker == 0xFFDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                tbl = np.zeros(64, dtype=np.int32)
+                for k in range(64):
+                    tbl[_ZIGZAG[k]] = body[i + 1 + k]
+                qtables[tq] = tbl
+                i += 65
+        elif marker == 0xFFC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                cnt = sum(bits)
+                vals = list(body[i + 17 : i + 17 + cnt])
+                huff[(tc, th)] = _huff_decoder(bits, vals)
+                i += 17 + cnt
+        elif marker == 0xFFC0:
+            prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8 or nc not in (1, 3):
+                raise NotImplementedError(f"SOF0 precision={prec} ncomp={nc}")
+            comps = []
+            for c in range(nc):
+                cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
+                if samp != 0x11:
+                    raise NotImplementedError("only 4:4:4 (1x1 sampling)")
+                comps.append((cid, tq))
+            frame = (fh, fw, comps)
+        elif marker in (0xFFC1, 0xFFC2, 0xFFC3):
+            raise NotImplementedError("only baseline SOF0 JPEG")
+        elif marker == 0xFFDA:
+            ns = body[0]
+            scan = {}
+            for c in range(ns):
+                cid, tabs = body[1 + 2 * c], body[2 + 2 * c]
+                scan[cid] = (tabs >> 4, tabs & 0xF)
+            data_start = pos + 2 + ln
+            break
+        pos += 2 + ln
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF0/SOS")
+    fh, fw, comps = frame
+    end = payload.rfind(b"\xff\xd9")
+    br = _BitReader(payload[data_start : end if end > 0 else n])
+    t = _dct_mat()
+    zz = np.array(_ZIGZAG)
+    ph, pw = -(-fh // 8) * 8, -(-fw // 8) * 8
+    planes = [np.zeros((ph, pw)) for _ in comps]
+    prev_dc = [0] * len(comps)
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            for ci, (cid, tq) in enumerate(comps):
+                dct_t, act_t = scan[cid]
+                dc_tab, ac_tab = huff[(0, dct_t)], huff[(1, act_t)]
+
+                def read_sym(tab):
+                    length, code = 0, 0
+                    while length < 16:
+                        code = (code << 1) | br.bit()
+                        length += 1
+                        if (length, code) in tab:
+                            return tab[(length, code)]
+                    raise ValueError("invalid huffman code in scan")
+
+                s = read_sym(dc_tab)
+                diff = _extend(br.bits(s), s) if s else 0
+                prev_dc[ci] += diff
+                coef = np.zeros(64)
+                coef[0] = prev_dc[ci]
+                k = 1
+                while k < 64:
+                    rs = read_sym(ac_tab)
+                    r, s = rs >> 4, rs & 0xF
+                    if rs == 0x00:
+                        break  # EOB
+                    if rs == 0xF0:
+                        k += 16
+                        continue
+                    k += r
+                    if k > 63:
+                        raise ValueError("AC run past block end")
+                    coef[k] = _extend(br.bits(s), s)
+                    k += 1
+                deq = np.zeros(64)
+                deq[zz] = coef * qtables[tq][zz]
+                blk = t.T @ deq.reshape(8, 8) @ t
+                planes[ci][by : by + 8, bx : bx + 8] = blk + 128.0
+    if len(comps) == 1:
+        g = np.clip(np.round(planes[0][:fh, :fw]), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    y, cb, cr = (p[:fh, :fw] for p in planes)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+
+
 def encode_wav(samples, sample_rate: int = 16000) -> bytes:
     """int16 mono sample array → PCM WAV bytes."""
     import numpy as np
@@ -381,13 +793,15 @@ def decode_image_features(
             return _image_features(decode_bmp(p), dim)
         if p[:8] == _PNG_MAGIC:
             return _image_features(_to_rgb(decode_png(p)), dim)
+        if p[:2] == b"\xff\xd8":
+            return _image_features(decode_jpeg(p), dim)
         try:  # pragma: no cover - PIL absent in this container
             import io
 
             from PIL import Image  # type: ignore[import-not-found]
         except ImportError:
             raise NotImplementedError(
-                "payload is neither BMP nor PNG and PIL is unavailable "
+                "payload is not BMP/PNG/JPEG and PIL is unavailable "
                 "(pass fake=True for the deterministic stub)"
             ) from None
         arr = np.asarray(Image.open(io.BytesIO(p)).convert("RGB"))  # pragma: no cover
@@ -472,9 +886,11 @@ def resize_images(
             a = decode_png(p)
             arr = np.repeat(a, 3, axis=2) if a.shape[2] == 1 else a
             enc = encode_png
+        elif p[:2] == b"\xff\xd8":
+            arr, enc = decode_jpeg(p), encode_jpeg
         else:
             raise NotImplementedError(
-                "payload is neither BMP nor PNG; real resize covers those "
+                "payload is not BMP/PNG/JPEG; real resize covers those "
                 "formats (pass fake=True for the stub)"
             )
         h, w = arr.shape[:2]

@@ -1251,6 +1251,63 @@ FROM reach GROUP BY a ORDER BY id
 """
 
 
+def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-5 baseline JPEG codec under the driver gate: per doc a
+    FLAT RGB image (color + dims derived from doc_id) goes through the
+    real encoder AND decoder in one mapInPandas stage; a flat block's only
+    nonzero coefficient is DC, whose quantization error at quality 90 is
+    < 0.5 of a level, so every decoded pixel must sit within ±2 of the
+    original (color-conversion rounding included). Oracle: image count,
+    exact pixel-count sum (dims are pure doc_id arithmetic) and the
+    all-images-within-tolerance count — a codec regression (wrong tables,
+    zigzag, huffman, IDCT) blows the deviation bound and fails the gate."""
+    from pyspark.sql import types as T2
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 200)
+    out_schema = T2.StructType(
+        [
+            T2.StructField("doc_id", T2.LongType()),
+            T2.StructField("n_px", T2.LongType()),
+            T2.StructField("max_err", T2.LongType()),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        from .operators.multimodal import decode_jpeg, encode_jpeg
+
+        for pdf in batches:
+            ids, npx, errs = [], [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                h, w = 8 + (i % 3) * 4, 8 + (i % 5) * 4
+                rgb = ((i * 37) % 256, (i * 59) % 256, (i * 83) % 256)
+                img = np.zeros((h, w, 3), dtype=np.uint8)
+                img[:] = rgb
+                dec = decode_jpeg(encode_jpeg(img, 90))
+                ids.append(i)
+                npx.append(h * w)
+                errs.append(int(np.abs(dec.astype(int) - img.astype(int)).max()))
+            yield pd.DataFrame({"doc_id": ids, "n_px": npx, "max_err": errs})
+
+    res = d.mapInPandas(run, out_schema)
+    return res.agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum("n_px").alias("px_sum"),
+        F.sum((F.col("max_err") <= 2).cast("long")).alias("n_within_tol"),
+    )
+
+
+_SQL_MULTIMODAL_JPEG = """
+SELECT CAST(count(*) AS BIGINT) AS n_images,
+       CAST(sum((8 + (doc_id % 3) * 4) * (8 + (doc_id % 5) * 4)) AS BIGINT) AS px_sum,
+       CAST(count(*) AS BIGINT) AS n_within_tol
+FROM documents WHERE doc_id < 200
+"""
+
+
 def q_stream_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus text-analysis operators composed with REAL Structured
     Streaming: documents replayed through the file source, per-source
@@ -2211,6 +2268,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "url_hygiene": (q_url_hygiene, _SQL_URL_HYGIENE),
     "token_contamination": (q_token_contamination, _SQL_TOKEN_CONTAMINATION),
     "stream_text_quality": (q_stream_text_quality, _SQL_STREAM_TEXT_QUALITY),
+    "multimodal_jpeg": (q_multimodal_jpeg, _SQL_MULTIMODAL_JPEG),
     "line_dedup": (q_line_dedup, _SQL_LINE_DEDUP),
     "multimodal_fake_decode": (q_multimodal_fake_decode, _SQL_MULTIMODAL_FAKE_DECODE),
     "apply_fixes_lineitem": (q_apply_fixes_lineitem, _SQL_APPLY_FIXES_LINEITEM),

@@ -308,3 +308,85 @@ def test_bmp_topdown_and_wav_roundtrip_properties():
     )
     x, rate = decode_wav(wav)
     assert np.allclose(x * 32768.0, [150.0, -50.0])
+
+
+def test_jpeg_round_trip_and_spec_golden():
+    """Baseline JPEG codec: flat blocks round-trip EXACTLY (all
+    post-quantization coefficients vanish), smooth gradients come back
+    within 2 levels at quality 95, odd dimensions crop correctly — and the
+    entropy segment of a single-MCU flat-gray image equals the bit pattern
+    hand-derived from the Annex-K tables (Y DC size-0 '00', Y EOB '1010',
+    chroma DC '00' + EOB '00' twice, padded with 1s → 0x28 0x03), so the
+    huffman tables and bit writer are checked against the SPEC, not just
+    against our own decoder."""
+    import numpy as np
+
+    from pandera_unified_validator_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    flat = np.full((8, 8, 3), 128, dtype=np.uint8)
+    payload = encode_jpeg(flat, 90)
+    assert payload[:2] == b"\xff\xd8" and payload[-2:] == b"\xff\xd9"
+    sos = payload.find(b"\xff\xda")
+    scan_start = sos + 2 + int.from_bytes(payload[sos + 2 : sos + 4], "big")
+    assert payload[scan_start:-2] == b"\x28\x03"  # spec-derived golden bits
+    assert np.array_equal(decode_jpeg(payload), flat)
+
+    h, w = 40, 56
+    yy, xx = np.mgrid[0:h, 0:w]
+    grad = np.stack(
+        [(yy * 4) % 256, (xx * 3) % 256, ((yy + xx) * 2) % 256], axis=2
+    ).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(grad, 95))
+    assert dec.shape == grad.shape
+    err = np.abs(dec.astype(int) - grad.astype(int))
+    assert err.max() <= 2 and err.mean() < 1.0
+
+    odd = np.full((13, 9, 3), 200, dtype=np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(odd, 90)), odd)
+
+    # quality ladder: lower quality never DECREASES the error of a noisy
+    # image (and stays bounded)
+    rng = np.random.RandomState(3)
+    noise = rng.randint(0, 256, (24, 24, 3)).astype(np.uint8)
+    errs = []
+    for q in (95, 50, 10):
+        d = decode_jpeg(encode_jpeg(noise, q))
+        errs.append(np.abs(d.astype(int) - noise.astype(int)).mean())
+    assert errs[0] <= errs[1] <= errs[2]
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01not a jpeg")
+    # progressive SOF2 must refuse, not mis-decode
+    prog = bytearray(payload)
+    c0 = bytes(prog).find(b"\xff\xc0")
+    prog[c0 + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(prog))
+
+
+def test_jpeg_feeds_feature_and_resize_paths(spark):
+    """JPEG payloads flow through the real mapInPandas decode + resize
+    stages exactly like BMP/PNG."""
+    import numpy as np
+
+    from pandera_unified_validator_spark.operators.multimodal import (
+        decode_image_features,
+        decode_jpeg,
+        encode_jpeg,
+        resize_images,
+    )
+
+    img = np.full((16, 16, 3), 0, dtype=np.uint8)
+    img[:8, :, 0] = 255  # top half red
+    rows = [("m1", bytearray(encode_jpeg(img, 95)))]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    feats = decode_image_features(df, dim=8).collect()[0]["features"]
+    assert abs(feats[0] - 0.5) < 0.02  # mean red ≈ half
+    out = resize_images(df, 8, 8).collect()[0]["payload"]
+    resized = decode_jpeg(bytes(out))
+    assert resized.shape == (8, 8, 3)
