@@ -389,6 +389,12 @@ class _BitWriter:
             self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)  # pad 1s
         return bytes(self.buf)
 
+    def restart(self, idx: int) -> None:
+        """Byte-align (1-padded) and emit RSTn — markers bypass stuffing."""
+        if self.nbits:
+            self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+        self.buf += bytes([0xFF, 0xD0 + (idx % 8)])
+
 
 def _mag_bits(v: int):
     """JPEG magnitude category: value → (size, bits)."""
@@ -399,13 +405,58 @@ def _mag_bits(v: int):
     return s, (v if v > 0 else v + (1 << s) - 1)
 
 
-def encode_jpeg(arr, quality: int = 90) -> bytes:
-    """RGB uint8 array (h, w, 3) → baseline JFIF bytes (4:4:4, Annex-K
-    huffman tables, IJG quality scaling). Lossy by nature: flat areas
-    round-trip exactly (all post-quantization coefficients are 0 or exact);
-    natural gradients come back within a few levels at quality ≥ 90."""
+def _encode_block(bw, blk, t, qtbl, zz, prev_dc, enc_dc, enc_ac):
+    """DCT → quantize → zigzag → huffman one 8×8 level-shifted block;
+    returns the new DC predictor."""
     import numpy as np
 
+    coef = t @ blk @ t.T
+    qc = np.round(coef.ravel()[zz] / qtbl[zz].astype(np.float64)).astype(np.int32)
+    dc = int(qc[0])
+    s, b = _mag_bits(dc - prev_dc)
+    code, ln = enc_dc[s]
+    bw.write(code, ln)
+    if s:
+        bw.write(b, s)
+    run = 0
+    last_nz = max(np.nonzero(qc)[0]) if np.any(qc) else 0
+    for i in range(1, 64):
+        v = int(qc[i])
+        if i > last_nz:
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = enc_ac[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        s, b = _mag_bits(v)
+        code, ln = enc_ac[run * 16 + s]
+        bw.write(code, ln)
+        bw.write(b, s)
+        run = 0
+    if last_nz < 63:
+        code, ln = enc_ac[0x00]  # EOB
+        bw.write(code, ln)
+    return dc
+
+
+def encode_jpeg(
+    arr, quality: int = 90, subsampling: str = "444", restart_interval: int = 0
+) -> bytes:
+    """RGB uint8 array (h, w, 3) → baseline JFIF bytes (Annex-K huffman
+    tables, IJG quality scaling). ``subsampling``: "444" (one block per
+    component per MCU) or "420" (the web default: chroma box-downsampled
+    2×2, MCU = 4 Y + Cb + Cr). ``restart_interval`` > 0 writes DRI and an
+    RSTn marker every N MCUs (what camera/web encoders emit for error
+    resilience). Lossy by nature: flat areas round-trip exactly at 4:4:4
+    and within ±2 at 4:2:0; natural gradients come back within a few
+    levels at quality ≥ 90."""
+    import numpy as np
+
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
     a = np.asarray(arr, dtype=np.uint8)
     h, w, ch = a.shape
     if ch != 3:
@@ -414,8 +465,6 @@ def encode_jpeg(arr, quality: int = 90) -> bytes:
     y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
     cb = 128.0 - 0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2]
     cr = 128.0 + 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2]
-    comps = [y, cb, cr]
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
     qt = _jpeg_qtables(quality)
     t = _dct_mat()
     enc_dc = [_huff_codes(*_HUFF_DC_LUMA), _huff_codes(*_HUFF_DC_CHROMA)]
@@ -423,49 +472,54 @@ def encode_jpeg(arr, quality: int = 90) -> bytes:
     zz = np.array(_ZIGZAG)
     bw = _BitWriter()
     prev_dc = [0, 0, 0]
-    padded = []
-    for c in comps:
-        p = np.empty((ph, pw))
-        p[:h, :w] = c
-        p[h:, :w] = c[h - 1 : h, :]  # edge replicate
-        p[:, w:] = p[:, w - 1 : w]
-        padded.append(p - 128.0)
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
+
+    def pad(plane, mh, mw):
+        sh, sw = plane.shape
+        p = np.empty((mh, mw))
+        p[:sh, :sw] = plane
+        p[sh:, :sw] = plane[sh - 1 : sh, :]
+        p[:, sw:] = p[:, sw - 1 : sw]
+        return p - 128.0
+
+    if subsampling == "444":
+        samp = ((1, 1), (1, 1), (1, 1))
+        mcu_h = mcu_w = 8
+        ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+        planes = [pad(c, ph, pw) for c in (y, cb, cr)]
+    else:
+        samp = ((2, 2), (1, 1), (1, 1))
+        mcu_h = mcu_w = 16
+        ph, pw = -(-h // 16) * 16, -(-w // 16) * 16
+        yp = pad(y, ph, pw)
+        # chroma: 2x2 box mean on the PADDED plane, then level-shift
+        def down(c):
+            p = pad(c, ph, pw) + 128.0
+            d = (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
+            return d - 128.0
+
+        planes = [yp, down(cb), down(cr)]
+    n_mcu_y, n_mcu_x = ph // mcu_h, pw // mcu_w
+    mcu_count = 0
+    rst_idx = 0
+    for my in range(n_mcu_y):
+        for mx in range(n_mcu_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bw.restart(rst_idx)
+                rst_idx += 1
+                prev_dc = [0, 0, 0]
+            mcu_count += 1
             for ci in range(3):
+                hi, vi = samp[ci]
                 ti = 0 if ci == 0 else 1
-                blk = padded[ci][by : by + 8, bx : bx + 8]
-                coef = t @ blk @ t.T
-                qc = np.round(coef.ravel()[zz] / qt[ti][zz].astype(np.float64))
-                qc = qc.astype(np.int32)
-                dc = int(qc[0])
-                s, b = _mag_bits(dc - prev_dc[ci])
-                prev_dc[ci] = dc
-                code, ln = enc_dc[ti][s]
-                bw.write(code, ln)
-                if s:
-                    bw.write(b, s)
-                run = 0
-                last_nz = max(np.nonzero(qc)[0]) if np.any(qc) else 0
-                for i in range(1, 64):
-                    v = int(qc[i])
-                    if i > last_nz:
-                        break
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = enc_ac[ti][0xF0]  # ZRL
-                        bw.write(code, ln)
-                        run -= 16
-                    s, b = _mag_bits(v)
-                    code, ln = enc_ac[ti][run * 16 + s]
-                    bw.write(code, ln)
-                    bw.write(b, s)
-                    run = 0
-                if last_nz < 63:
-                    code, ln = enc_ac[ti][0x00]  # EOB
-                    bw.write(code, ln)
+                for byi in range(vi):
+                    for bxi in range(hi):
+                        oy = my * 8 * vi + byi * 8
+                        ox = mx * 8 * hi + bxi * 8
+                        blk = planes[ci][oy : oy + 8, ox : ox + 8]
+                        prev_dc[ci] = _encode_block(
+                            bw, blk, t, qt[ti], zz, prev_dc[ci],
+                            enc_dc[ti], enc_ac[ti],
+                        )
     data = bw.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -480,13 +534,16 @@ def encode_jpeg(arr, quality: int = 90) -> bytes:
     out += seg(0xFFDB, b"\x00" + bytes(int(qt[0][i]) for i in _ZIGZAG))
     out += seg(0xFFDB, b"\x01" + bytes(int(qt[1][i]) for i in _ZIGZAG))
     sof = struct.pack(">BHHB", 8, h, w, 3)
-    for cid, tq in ((1, 0), (2, 1), (3, 1)):
-        sof += bytes([cid, 0x11, tq])  # 1x1 sampling: 4:4:4
+    for ci, (cid, tq) in enumerate(((1, 0), (2, 1), (3, 1))):
+        hi, vi = samp[ci]
+        sof += bytes([cid, hi * 16 + vi, tq])
     out += seg(0xFFC0, sof)
     out += seg(0xFFC4, dht(0, 0, _HUFF_DC_LUMA))
     out += seg(0xFFC4, dht(1, 0, _HUFF_AC_LUMA))
     out += seg(0xFFC4, dht(0, 1, _HUFF_DC_CHROMA))
     out += seg(0xFFC4, dht(1, 1, _HUFF_AC_CHROMA))
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
     sos = bytes([3]) + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + bytes([0, 63, 0])
     out += seg(0xFFDA, sos)
     out += data
@@ -513,8 +570,7 @@ class _BitReader:
                     self.pos += 1  # stuffed byte
                 else:
                     raise NotImplementedError(
-                        f"unexpected marker 0xFF{nxt:02X} in scan (restart "
-                        "intervals not supported)"
+                        f"unexpected marker 0xFF{nxt:02X} in scan"
                     )
             self.acc = b
             self.nbits = 8
@@ -527,6 +583,16 @@ class _BitReader:
             v = (v << 1) | self.bit()
         return v
 
+    def sync_restart(self) -> None:
+        """Byte-align and consume the next RSTn marker (T.81 §E.2.4: the
+        entropy segment between restarts is padded with 1-bits)."""
+        self.nbits = 0
+        if self.pos + 2 > len(self.data) or self.data[self.pos] != 0xFF or not (
+            0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError("expected RSTn marker at restart interval")
+        self.pos += 2
+
 
 def _extend(v: int, s: int) -> int:
     return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
@@ -534,8 +600,11 @@ def _extend(v: int, s: int) -> int:
 
 def decode_jpeg(payload: bytes):
     """Baseline JFIF bytes → RGB uint8 array (h, w, 3). Supports 8-bit
-    baseline SOF0, 1 or 3 components, 1x1 sampling (4:4:4) only — anything
-    else raises ``NotImplementedError`` rather than mis-decoding."""
+    baseline SOF0, 1 or 3 components, sampling factors up to 2×2 (covers
+    4:4:4, 4:2:2 and the web-default 4:2:0; chroma upsampled by pixel
+    replication), and restart intervals (DRI + RSTn). Progressive /
+    arithmetic / 12-bit streams raise ``NotImplementedError`` rather than
+    mis-decoding."""
     import numpy as np
 
     if payload[:2] != b"\xff\xd8":
@@ -546,6 +615,7 @@ def decode_jpeg(payload: bytes):
     frame = None
     scan = None
     data_start = None
+    restart_interval = 0
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
@@ -574,6 +644,8 @@ def decode_jpeg(payload: bytes):
                 vals = list(body[i + 17 : i + 17 + cnt])
                 huff[(tc, th)] = _huff_decoder(bits, vals)
                 i += 17 + cnt
+        elif marker == 0xFFDD:
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xFFC0:
             prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8 or nc not in (1, 3):
@@ -581,12 +653,13 @@ def decode_jpeg(payload: bytes):
             comps = []
             for c in range(nc):
                 cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
-                if samp != 0x11:
-                    raise NotImplementedError("only 4:4:4 (1x1 sampling)")
-                comps.append((cid, tq))
+                hi, vi = samp >> 4, samp & 0xF
+                if not (1 <= hi <= 2 and 1 <= vi <= 2):
+                    raise NotImplementedError(f"sampling factors {hi}x{vi}")
+                comps.append((cid, hi, vi, tq))
             frame = (fh, fw, comps)
-        elif marker in (0xFFC1, 0xFFC2, 0xFFC3):
-            raise NotImplementedError("only baseline SOF0 JPEG")
+        elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC9, 0xFFCA, 0xFFCB):
+            raise NotImplementedError("only baseline huffman SOF0 JPEG")
         elif marker == 0xFFDA:
             ns = body[0]
             scan = {}
@@ -599,55 +672,78 @@ def decode_jpeg(payload: bytes):
     if frame is None or scan is None:
         raise ValueError("JPEG missing SOF0/SOS")
     fh, fw, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     end = payload.rfind(b"\xff\xd9")
     br = _BitReader(payload[data_start : end if end > 0 else n])
     t = _dct_mat()
     zz = np.array(_ZIGZAG)
-    ph, pw = -(-fh // 8) * 8, -(-fw // 8) * 8
-    planes = [np.zeros((ph, pw)) for _ in comps]
+    n_mcu_x = -(-fw // (8 * hmax))
+    n_mcu_y = -(-fh // (8 * vmax))
+    planes = [
+        np.zeros((n_mcu_y * 8 * vi, n_mcu_x * 8 * hi))
+        for (_, hi, vi, _) in comps
+    ]
     prev_dc = [0] * len(comps)
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            for ci, (cid, tq) in enumerate(comps):
+
+    def read_sym(tab):
+        length, code = 0, 0
+        while length < 16:
+            code = (code << 1) | br.bit()
+            length += 1
+            if (length, code) in tab:
+                return tab[(length, code)]
+        raise ValueError("invalid huffman code in scan")
+
+    mcu_count = 0
+    for my in range(n_mcu_y):
+        for mx in range(n_mcu_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                br.sync_restart()
+                prev_dc = [0] * len(comps)
+            mcu_count += 1
+            for ci, (cid, hi, vi, tq) in enumerate(comps):
                 dct_t, act_t = scan[cid]
                 dc_tab, ac_tab = huff[(0, dct_t)], huff[(1, act_t)]
-
-                def read_sym(tab):
-                    length, code = 0, 0
-                    while length < 16:
-                        code = (code << 1) | br.bit()
-                        length += 1
-                        if (length, code) in tab:
-                            return tab[(length, code)]
-                    raise ValueError("invalid huffman code in scan")
-
-                s = read_sym(dc_tab)
-                diff = _extend(br.bits(s), s) if s else 0
-                prev_dc[ci] += diff
-                coef = np.zeros(64)
-                coef[0] = prev_dc[ci]
-                k = 1
-                while k < 64:
-                    rs = read_sym(ac_tab)
-                    r, s = rs >> 4, rs & 0xF
-                    if rs == 0x00:
-                        break  # EOB
-                    if rs == 0xF0:
-                        k += 16
-                        continue
-                    k += r
-                    if k > 63:
-                        raise ValueError("AC run past block end")
-                    coef[k] = _extend(br.bits(s), s)
-                    k += 1
-                deq = np.zeros(64)
-                deq[zz] = coef * qtables[tq][zz]
-                blk = t.T @ deq.reshape(8, 8) @ t
-                planes[ci][by : by + 8, bx : bx + 8] = blk + 128.0
+                for byi in range(vi):
+                    for bxi in range(hi):
+                        s = read_sym(dc_tab)
+                        diff = _extend(br.bits(s), s) if s else 0
+                        prev_dc[ci] += diff
+                        coef = np.zeros(64)
+                        coef[0] = prev_dc[ci]
+                        k = 1
+                        while k < 64:
+                            rs = read_sym(ac_tab)
+                            r, s = rs >> 4, rs & 0xF
+                            if rs == 0x00:
+                                break  # EOB
+                            if rs == 0xF0:
+                                k += 16
+                                continue
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            coef[k] = _extend(br.bits(s), s)
+                            k += 1
+                        deq = np.zeros(64)
+                        deq[zz] = coef * qtables[tq][zz]
+                        blk = t.T @ deq.reshape(8, 8) @ t
+                        oy = (my * vi + byi) * 8
+                        ox = (mx * hi + bxi) * 8
+                        planes[ci][oy : oy + 8, ox : ox + 8] = blk + 128.0
+    full = []
+    for pi, (cid, hi, vi, tq) in enumerate(comps):
+        p = planes[pi]
+        if hi < hmax:
+            p = np.repeat(p, hmax // hi, axis=1)
+        if vi < vmax:
+            p = np.repeat(p, vmax // vi, axis=0)
+        full.append(p[:fh, :fw])
     if len(comps) == 1:
-        g = np.clip(np.round(planes[0][:fh, :fw]), 0, 255).astype(np.uint8)
+        g = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
         return np.repeat(g[:, :, None], 3, axis=2)
-    y, cb, cr = (p[:fh, :fw] for p in planes)
+    y, cb, cr = full
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)

@@ -390,3 +390,40 @@ def test_jpeg_feeds_feature_and_resize_paths(spark):
     out = resize_images(df, 8, 8).collect()[0]["payload"]
     resized = decode_jpeg(bytes(out))
     assert resized.shape == (8, 8, 3)
+
+
+def test_jpeg_420_and_restart_markers():
+    """Web-shaped JPEGs: 4:2:0 subsampling (flat colors still exact — the
+    box-downsampled chroma of a constant is constant) and restart
+    intervals (DRI + RSTn with byte-aligned resync and DC reset) decode to
+    the SAME pixels as the plain encoding — restarts change framing, not
+    reconstruction."""
+    import numpy as np
+    import pytest
+
+    from pandera_unified_validator_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    col = np.full((20, 36, 3), (180, 60, 220), dtype=np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(col, 90, subsampling="420")), col)
+
+    h, w = 40, 56
+    yy, xx = np.mgrid[0:h, 0:w]
+    grad = np.stack(
+        [(yy * 4) % 256, (xx * 3) % 256, ((yy + xx) * 2) % 256], axis=2
+    ).astype(np.uint8)
+    d420 = decode_jpeg(encode_jpeg(grad, 95, subsampling="420"))
+    assert d420.shape == grad.shape
+    assert np.abs(d420.astype(int) - grad.astype(int)).max() <= 6  # chroma repl.
+
+    plain = decode_jpeg(encode_jpeg(grad, 95))
+    with_rst = encode_jpeg(grad, 95, restart_interval=3)
+    assert b"\xff\xdd" in with_rst and b"\xff\xd0" in with_rst
+    assert np.array_equal(decode_jpeg(with_rst), plain)
+    rst420 = encode_jpeg(grad, 95, subsampling="420", restart_interval=2)
+    assert np.array_equal(decode_jpeg(rst420), d420)
+
+    with pytest.raises(ValueError):
+        encode_jpeg(grad, 95, subsampling="422")
