@@ -750,42 +750,94 @@ def decode_jpeg(payload: bytes):
     return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
 
 
-def encode_wav(samples, sample_rate: int = 16000) -> bytes:
-    """int16 mono sample array → PCM WAV bytes."""
+def _ulaw_encode(s16):
+    """G.711 μ-law compression: int16 → uint8 (the public spec formula —
+    bias 132, segment by leading-one position, complemented output)."""
     import numpy as np
 
-    s = np.asarray(samples, dtype="<i2").tobytes()
+    x = np.asarray(s16, dtype=np.int64)
+    sign = (x < 0).astype(np.uint8) * 0x80
+    mag = np.minimum(np.abs(x), 32635) + 132
+    exp = (np.floor(np.log2(mag)) - 7).astype(np.int64)  # 0..7 (mag >= 132)
+    mant = (mag >> (exp + 3)) & 0x0F
+    return (~(sign | (exp.astype(np.uint8) << 4) | mant.astype(np.uint8))).astype(
+        np.uint8
+    )
+
+
+def _ulaw_decode(u8):
+    """G.711 μ-law expansion: uint8 → int16."""
+    import numpy as np
+
+    u = ~np.asarray(u8, dtype=np.uint8)
+    sign = (u & 0x80) != 0
+    exp = ((u >> 4) & 0x07).astype(np.int64)
+    mant = (u & 0x0F).astype(np.int64)
+    mag = (((mant << 3) + 132) << exp) - 132
+    return np.where(sign, -mag, mag).astype(np.int16)
+
+
+def encode_wav(samples, sample_rate: int = 16000, fmt: str = "pcm16") -> bytes:
+    """Mono sample array → WAV bytes. ``fmt``: "pcm16" (int16 in),
+    "pcm8" (unsigned 8-bit), "float32" (IEEE float, samples in [-1, 1]),
+    or "ulaw" (G.711 μ-law, int16 in) — the container variants a real
+    audio corpus actually contains."""
+    import numpy as np
+
+    a = np.asarray(samples)
+    if fmt == "pcm16":
+        tag, bits, s = 1, 16, a.astype("<i2").tobytes()
+    elif fmt == "pcm8":
+        tag, bits = 1, 8
+        s = np.clip(a, 0, 255).astype(np.uint8).tobytes()
+    elif fmt == "float32":
+        tag, bits, s = 3, 32, a.astype("<f4").tobytes()
+    elif fmt == "ulaw":
+        tag, bits, s = 7, 8, _ulaw_encode(a).tobytes()
+    else:
+        raise ValueError(f"unknown WAV fmt {fmt!r}")
+    block = bits // 8
     hdr = struct.pack(
         "<4sI4s4sIHHIIHH4sI",
-        b"RIFF", 36 + len(s), b"WAVE", b"fmt ", 16, 1, 1,
-        sample_rate, sample_rate * 2, 2, 16, b"data", len(s),
+        b"RIFF", 36 + len(s), b"WAVE", b"fmt ", 16, tag, 1,
+        sample_rate, sample_rate * block, block, bits, b"data", len(s),
     )
     return hdr + s
 
 
 def decode_wav(payload: bytes):
-    """PCM WAV bytes → (float64 mono samples in [-1, 1], sample_rate).
-    Walks RIFF chunks; 16-bit PCM only (the interchange baseline)."""
+    """WAV bytes → (float64 mono samples in [-1, 1], sample_rate). Walks
+    RIFF chunks; 16/8-bit PCM, IEEE float32 and G.711 μ-law supported
+    (multi-channel folds to mono by mean)."""
     import numpy as np
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
     pos, n = 12, len(payload)
-    rate, channels, bits, data = None, None, None, None
+    fmt, rate, channels, bits, data = None, None, None, None, None
     while pos + 8 <= n:
         cid, clen = struct.unpack_from("<4sI", payload, pos)
         body = payload[pos + 8 : pos + 8 + clen]
         if cid == b"fmt ":
             fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
             bits = struct.unpack_from("<H", body, 14)[0]
-            if fmt != 1 or bits != 16:
-                raise NotImplementedError(f"only 16-bit PCM WAV (fmt={fmt} bits={bits})")
         elif cid == b"data":
             data = body
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
     if rate is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
-    x = np.frombuffer(data, dtype="<i2").astype("float64") / 32768.0
+    if fmt == 1 and bits == 16:
+        x = np.frombuffer(data, dtype="<i2").astype("float64") / 32768.0
+    elif fmt == 1 and bits == 8:  # unsigned PCM
+        x = (np.frombuffer(data, dtype=np.uint8).astype("float64") - 128.0) / 128.0
+    elif fmt == 3 and bits == 32:
+        x = np.frombuffer(data, dtype="<f4").astype("float64")
+    elif fmt == 7 and bits == 8:
+        x = _ulaw_decode(np.frombuffer(data, dtype=np.uint8)).astype("float64") / 32768.0
+    else:
+        raise NotImplementedError(
+            f"WAV fmt={fmt} bits={bits} (supported: PCM 8/16, float32, ulaw)"
+        )
     if channels > 1:
         x = x[: len(x) - len(x) % channels].reshape(-1, channels).mean(axis=1)
     return x, rate

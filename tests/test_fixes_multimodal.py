@@ -427,3 +427,47 @@ def test_jpeg_420_and_restart_markers():
 
     with pytest.raises(ValueError):
         encode_jpeg(grad, 95, subsampling="422")
+
+
+def test_wav_format_variants():
+    """WAV container variants a real audio corpus contains: 16-bit PCM is
+    exact, float32 exact, 8-bit PCM within one LSB, G.711 mu-law better
+    than 30 dB SNR on a sine and matching the spec's quantized values."""
+    import numpy as np
+    import pytest
+
+    from pandera_unified_validator_spark.operators.multimodal import (
+        _ulaw_decode,
+        _ulaw_encode,
+        decode_wav,
+        encode_wav,
+    )
+
+    t = np.arange(800)
+    s16 = (np.sin(t * 0.05) * 20000).astype(np.int16)
+    ref = s16 / 32768.0
+    x, rate = decode_wav(encode_wav(s16, 8000))
+    assert rate == 8000 and np.allclose(x, ref)
+    xf, _ = decode_wav(encode_wav(ref, 8000, fmt="float32"))
+    assert np.abs(xf - ref).max() == 0.0
+    x8, _ = decode_wav(encode_wav((ref * 128 + 128).astype(int), 8000, fmt="pcm8"))
+    assert np.abs(x8 - ref).max() < 1 / 128
+    xu, _ = decode_wav(encode_wav(s16, 8000, fmt="ulaw"))
+    snr = 10 * np.log10(
+        (s16.astype(float) ** 2).mean() / (((xu * 32768.0) - s16) ** 2).mean()
+    )
+    assert snr > 30
+    v = np.array([-32000, -1000, -5, 0, 5, 1000, 32000], dtype=np.int16)
+    assert _ulaw_decode(_ulaw_encode(v)).tolist() == [
+        -32124, -988, -8, 0, 8, 988, 32124,
+    ]
+    with pytest.raises(ValueError):
+        encode_wav(s16, 8000, fmt="opus")
+    # 24-bit PCM correctly refuses instead of mis-decoding
+    import struct as st
+
+    raw = encode_wav(s16, 8000)
+    bad = bytearray(raw)
+    st.pack_into("<H", bad, 34, 24)
+    with pytest.raises(NotImplementedError):
+        decode_wav(bytes(bad))
