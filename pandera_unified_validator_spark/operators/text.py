@@ -573,7 +573,9 @@ def unigram_doc_scores(
 def analyze_text(
     df: DataFrame, text_col: str = "text", prefix: str = ""
 ) -> DataFrame:
-    """Annotate a corpus with all text signals in one codegen pass."""
+    """Annotate a corpus with all text signals in one codegen pass —
+    counts, ratios, 15-language ID, quality score, Gopher gate verdict,
+    URL count, and the order-sensitive fingerprint."""
     feats = quality_features(text_col)
     return df.select(
         "*",
@@ -584,5 +586,7 @@ def analyze_text(
         feats["punct_ratio"].alias(f"{prefix}punct_ratio"),
         language_id(text_col).alias(f"{prefix}lang_pred"),
         quality_score(text_col).alias(f"{prefix}quality"),
+        gopher_quality_flags(text_col)["passes"].alias(f"{prefix}gopher_passes"),
+        F.size(extract_urls(text_col)).alias(f"{prefix}n_urls"),
         fingerprint(text_col).alias(f"{prefix}fingerprint"),
     )
