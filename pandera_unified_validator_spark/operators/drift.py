@@ -63,7 +63,12 @@ def histogram_df(df: DataFrame, column: str, lo: float, hi: float, bins: int) ->
     """Lazy equal-width histogram (bucket, n) over fixed [lo, hi] — values
     clamp into boundary buckets, nulls drop. One groupBy when acted on."""
     c = F.col(column).cast("double")
-    width = (hi - lo) / bins if hi > lo else 1.0
+    # guard the COMPUTED width: a subnormal hi-lo span divided by bins
+    # underflows to 0.0 and ANSI mode aborts on the division (hypothesis
+    # found this in the profiler's sibling expression)
+    width = (hi - lo) / bins
+    if not width > 0.0:
+        width = 1.0
     bucket = F.least(
         F.greatest(F.floor((c - F.lit(float(lo))) / F.lit(width)), F.lit(0)),
         F.lit(bins - 1),

@@ -353,7 +353,13 @@ class DataProfiler:
             exprs = []
             for c in bounded:
                 lo, hi = float(profiles[c].min), float(profiles[c].max)
-                width = (hi - lo) / self.histogram_bins if hi > lo else 1.0
+                # guard the COMPUTED width, not hi > lo: a subnormal span
+                # (hi - lo = 5e-324) underflows to 0.0 when divided by the
+                # bin count, and ANSI mode turns that into a job-killing
+                # DIVIDE_BY_ZERO (found by hypothesis)
+                width = (hi - lo) / self.histogram_bins
+                if not width > 0.0:
+                    width = 1.0
                 bucket = F.least(
                     F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(width)),
                     F.lit(self.histogram_bins - 1),
@@ -373,7 +379,9 @@ class DataProfiler:
                     by_col.setdefault(r["col"], {})[r["bucket"]] = r["count"]
                 for c in bounded:
                     lo, hi = float(profiles[c].min), float(profiles[c].max)
-                    width = (hi - lo) / self.histogram_bins if hi > lo else 1.0
+                    width = (hi - lo) / self.histogram_bins
+                    if not width > 0.0:  # subnormal span underflows to 0
+                        width = 1.0
                     counts = by_col.get(c, {})
                     profiles[c].histogram = [
                         (lo + i * width, lo + (i + 1) * width, counts.get(i, 0))

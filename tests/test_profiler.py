@@ -230,3 +230,20 @@ def test_mean_drift_df(spark):
     }
     assert out["x"] == 1.0          # (4-2)/2
     assert out["z"] == 1.0          # mean_a == 0 -> denom 1
+
+
+def test_histogram_survives_subnormal_span(spark):
+    """A column spanning [0.0, 5e-324] (denormal): (hi-lo)/bins underflows
+    to 0.0, which ANSI mode turns into a job-killing DIVIDE_BY_ZERO unless
+    the computed width is guarded (hypothesis-found, round 5; the guard on
+    hi > lo alone was insufficient)."""
+    import pandas as pd
+
+    from pandera_unified_validator_spark.operators.drift import histogram_df
+    from pandera_unified_validator_spark.operators.profiler import DataProfiler
+
+    df = spark.createDataFrame(pd.DataFrame({"x": [0.0, 5e-324]}))
+    prof = DataProfiler().profile(df)
+    assert prof.columns["x"].histogram is not None
+    assert sum(n for _, _, n in prof.columns["x"].histogram) == 2
+    assert histogram_df(df, "x", 0.0, 5e-324, 10).count() >= 1
