@@ -873,6 +873,14 @@ def connected_components(
     # are attributed by diffing the persistent-RDD set around the eager
     # checkpoint — safe for the single-driver operator usage this targets.
     sc = pairs.sparkSession.sparkContext
+    # materialize edges (and any upstream operator caches, e.g. the minhash
+    # signature store feeding `pairs`) BEFORE the first persistent-RDD-id
+    # snapshot: cached RDDs register in sc.persistentRdds only at first
+    # materialization, so without this they would register inside the diff
+    # window, be misattributed as checkpoint storage, and get unpersisted
+    # after round 1 — every later round would recompute the whole pairs
+    # pipeline from source (round-5 review finding)
+    edges.count()
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "component", F.col("id")
     )

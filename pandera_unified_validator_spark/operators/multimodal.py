@@ -619,9 +619,15 @@ def decode_jpeg(payload: bytes):
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
+        # T.81 B.1.1.2: any number of 0xFF FILL bytes may precede a marker
+        while payload[pos + 1] == 0xFF and pos + 4 <= n:
+            pos += 1
         marker = struct.unpack_from(">H", payload, pos)[0]
         if marker == 0xFFD9:
             break
+        if marker == 0xFF01 or 0xFFD0 <= marker <= 0xFFD7:
+            pos += 2  # TEM / RSTn: standalone, no length field
+            continue
         ln = struct.unpack_from(">H", payload, pos + 2)[0]
         body = payload[pos + 4 : pos + 2 + ln]
         if marker == 0xFFDB:

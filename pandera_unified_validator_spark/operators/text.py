@@ -504,6 +504,8 @@ def unigram_lm(
     table a 10^12-doc run builds once from a clean reference corpus
     (CCNet trains its reference LM on Wikipedia) and broadcasts ever
     after."""
+    from ..utils.cache import registry as _cache
+
     counts = (
         df.select(F.explode(words(text_col)).alias("__w"))
         .groupBy("__w")
@@ -511,6 +513,11 @@ def unigram_lm(
     )
     if vocab_limit is not None:
         counts = counts.orderBy(F.col("__n").desc(), F.col("__w")).limit(vocab_limit)
+    # the vocab pipeline feeds the total/V scalar job here, the OOV-floor
+    # job and the broadcast join in unigram_doc_scores — persist it once
+    # (registry-tracked; release via operator_cache_scope) instead of
+    # re-running the corpus explode/shuffle up to four times
+    counts = _cache.persist(counts, "unigram_lm.counts")
     # total/V reduce over the (bounded) kept vocab — a driver-side scalar
     row = counts.agg(
         F.sum("__n").alias("t"), F.count(F.lit(1)).alias("v")

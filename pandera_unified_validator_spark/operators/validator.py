@@ -26,7 +26,6 @@ controls raise-vs-return, matching ``core/validator.py:136-137``.
 
 from __future__ import annotations
 
-import json
 import logging
 import time
 from dataclasses import dataclass, field
@@ -393,31 +392,41 @@ class SparkValidator:
         samples: dict[str, tuple] = {}
         if self.collect_samples and self.key_columns:
             # ONE job for every failed check's samples: a union of per-check
-            # limited branches, each row JSON-packed so heterogeneous sample
-            # schemas (different checks sample different columns) share one
-            # union schema. The round-4 shape looped per check — up to 20
-            # separate job launches of fixed overhead per failing validation.
-            failed = [c for c in checks if by_check.get(c.name)]
-            branches = []
-            for c in failed[:20]:  # bound the fan-out
-                cols = dict.fromkeys(
-                    list(self.key_columns) + ([c.column] if c.column else [])
-                )
-                branches.append(
-                    annotated.filter(~F.col(FLAG_PREFIX + c.name))
-                    .select(
-                        F.lit(c.name).alias("__chk"),
-                        F.to_json(
-                            F.struct(*cols), {"ignoreNullFields": "false"}
-                        ).alias("__row"),
+            # limited branches. Every branch selects the same UNIFIED column
+            # set (key columns + every failed check's column — they all come
+            # from the one `annotated` frame), so the union has one native
+            # schema and sample values keep their Spark types (timestamps,
+            # Decimals, binary — a JSON round-trip here stringified them,
+            # round-5 review finding); each check's samples are then pruned
+            # back to its own relevant columns. The round-4 shape looped per
+            # check — up to 20 separate job launches per failing validation.
+            failed = [c for c in checks if by_check.get(c.name)][:20]
+            if failed:
+                unified = list(
+                    dict.fromkeys(
+                        list(self.key_columns)
+                        + [c.column for c in failed if c.column]
                     )
-                    .limit(self.max_samples)
                 )
-            if branches:
+                branches = [
+                    annotated.filter(~F.col(FLAG_PREFIX + c.name))
+                    .select(F.lit(c.name).alias("__chk"), *unified)
+                    .limit(self.max_samples)
+                    for c in failed
+                ]
                 grouped: dict[str, list] = {}
                 for r in reduce(DataFrame.unionAll, branches).collect():
-                    grouped.setdefault(r["__chk"], []).append(json.loads(r["__row"]))
-                samples = {k: tuple(v) for k, v in grouped.items()}
+                    d = r.asDict()
+                    grouped.setdefault(d.pop("__chk"), []).append(d)
+                for c in failed:
+                    cols = dict.fromkeys(
+                        list(self.key_columns) + ([c.column] if c.column else [])
+                    )
+                    rows = grouped.get(c.name, ())
+                    if rows:
+                        samples[c.name] = tuple(
+                            {k: row[k] for k in cols} for row in rows
+                        )
 
         results = tuple(
             CheckResult(

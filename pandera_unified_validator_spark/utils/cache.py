@@ -83,8 +83,19 @@ class OperatorCacheRegistry:
         self.max_entries = max_entries
         self._lock = threading.Lock()
         self._entries: list[_Entry] = []          # insertion-ordered
-        # stack of scope marker lists; each holds the entries made in-scope
-        self._scopes: list[list[_Entry]] = []
+        # per-THREAD stack of scope marker lists: a scope must only capture
+        # entries its own thread registers — a streaming listener thread's
+        # persist landing in another thread's open scope would be released
+        # (and checkpoint entries destroyed, unrecomputable) when that
+        # unrelated scope exits (round-5 review finding)
+        self._tls = threading.local()
+
+    @property
+    def _scopes(self) -> list[list[_Entry]]:
+        scopes = getattr(self._tls, "scopes", None)
+        if scopes is None:
+            scopes = self._tls.scopes = []
+        return scopes
 
     # ------------------------------------------------------------------ #
     def _track(self, entry: _Entry) -> None:

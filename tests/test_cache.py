@@ -91,3 +91,55 @@ def test_embedding_cache_released_after_scope(spark):
         ).collect()
         assert isinstance(out, list)
     assert registry.labels() == []
+
+
+def test_scope_is_thread_local(spark):
+    """A persist registered by ANOTHER thread must not be captured by this
+    thread's open scope — a streaming-listener thread's checkpoint entry
+    released by an unrelated scope exit would be unrecomputable (review
+    round 5)."""
+    import threading
+
+    other_df = {}
+
+    def other_thread():
+        other_df["df"] = registry.persist(spark.range(12), "other-thread")
+
+    with operator_cache_scope():
+        t = threading.Thread(target=other_thread)
+        t.start()
+        t.join()
+        mine = registry.persist(spark.range(13), "mine")
+        assert _is_cached(other_df["df"]) and _is_cached(mine)
+    assert not _is_cached(mine)                 # my scope released mine
+    assert _is_cached(other_df["df"])           # but not the other thread's
+    assert "other-thread" in registry.labels()
+    registry.release_all()
+
+
+def test_connected_components_preserves_upstream_caches(spark):
+    """The checkpoint-id diff must not misattribute lazily-materialized SQL
+    caches (edges / the minhash signature store) as checkpoint storage and
+    destroy them in round 1 (review round 5): after a full
+    minhash->components run, the signature cache is still registered AND
+    still materialized alongside the final label checkpoint."""
+    from pandera_unified_validator_spark.operators.dedup import (
+        dedup_by_components,
+        minhash_dedup_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog wearing a tall hat "
+    rows = [(i, base + f"tail {i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    registry.release_all()
+    pairs = minhash_dedup_pairs(df, jaccard_threshold=0.5)
+    kept = dedup_by_components(df, pairs).collect()
+    assert 0 < len(kept) <= 30
+    labels = registry.labels()
+    assert "minhash_dedup_pairs.signatures" in labels
+    assert "connected_components.labels" in labels
+    # both stores still materialized: signature cache + label checkpoint
+    n_rdds = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert n_rdds >= 2, n_rdds
+    registry.release_all()
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == 0

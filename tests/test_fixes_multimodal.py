@@ -471,3 +471,24 @@ def test_wav_format_variants():
     st.pack_into("<H", bad, 34, 24)
     with pytest.raises(NotImplementedError):
         decode_wav(bytes(bad))
+
+
+def test_jpeg_tolerates_fill_bytes_and_standalone_markers():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+    (camera firmwares pad); the header walker must skip them (and
+    standalone TEM markers) instead of misreading segment lengths."""
+    import numpy as np
+
+    from pandera_unified_validator_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    img = np.full((16, 16, 3), (90, 150, 30), dtype=np.uint8)
+    payload = encode_jpeg(img, 90)
+    baseline = decode_jpeg(payload)
+    c0 = payload.find(b"\xff\xc0")
+    padded = payload[:c0] + b"\xff\xff\xff" + payload[c0:]  # fill bytes
+    assert np.array_equal(decode_jpeg(padded), baseline)
+    tem = payload[:c0] + b"\xff\x01" + payload[c0:]  # standalone TEM
+    assert np.array_equal(decode_jpeg(tem), baseline)

@@ -363,3 +363,25 @@ def test_collect_samples_one_job_per_validation(spark, dirty):
     # n_tok range check samples carry the offending column value
     ntok = next(c for c in res.report.checks if c.name == "n_tok__ge" and c.samples)
     assert all("n_tok" in s for s in ntok.samples)
+
+
+def test_samples_keep_native_types(spark):
+    """Failing-value samples preserve Spark-native Python types through the
+    one-job union (a JSON round-trip stringified timestamps/decimals —
+    review round 5): a timestamp key column comes back as datetime."""
+    import datetime
+
+    from pandera_unified_validator_spark import SchemaBuilder
+
+    df = spark.createDataFrame(
+        [(datetime.datetime(2026, 8, 17, 12, 0), -5.0),
+         (datetime.datetime(2026, 8, 17, 13, 0), 2.0)],
+        "ts timestamp, v double",
+    )
+    schema = SchemaBuilder("t").column("v", "float", ge=0.0).build()
+    res = SparkValidator(
+        schema, key_columns=("ts",), collect_samples=True
+    ).validate(df)
+    chk = next(c for c in res.report.checks if c.n_failed)
+    assert chk.samples and isinstance(chk.samples[0]["ts"], datetime.datetime)
+    assert isinstance(chk.samples[0]["v"], float) and chk.samples[0]["v"] == -5.0

@@ -156,7 +156,12 @@ def main() -> int:
 
         lm = unigram_lm(step, vocab_limit=1_000_000)
         scores = unigram_doc_scores(step, lm)
-        floor = scores.approxQuantile("mean_logp", [args.lm_drop_pct / 100.0], 0.001)[0]
+        # approxQuantile returns [] on an empty frame (every doc eliminated
+        # by the earlier gates) — treat as no floor instead of crashing
+        # after the expensive dedup stages already ran; NULL-scored
+        # (wordless) docs are dropped by the floor by policy
+        q = scores.approxQuantile("mean_logp", [args.lm_drop_pct / 100.0], 0.001)
+        floor = q[0] if q else float("-inf")
         good = scores.filter(F.col("mean_logp") > floor)
         step = step.join(good.select("doc_id"), "doc_id")
         stages["after_lm_floor"] = step.count()
