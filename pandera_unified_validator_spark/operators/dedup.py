@@ -807,15 +807,27 @@ def line_dedup(
 
 
 # ------------------------------------------------- connected components ----
-def _persistent_rdd_ids(sc) -> set[int]:
-    """Ids of currently persisted RDDs (includes localCheckpoint storage,
-    which bypasses the SQL CacheManager)."""
-    return {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+def _checkpoint_rdd_id(df: DataFrame) -> int | None:
+    """Persisted-RDD id backing a ``localCheckpoint()``-ed DataFrame: its
+    analyzed plan is exactly a LogicalRDD wrapping the checkpointed (and
+    persisted) RDD — precise attribution with NO job and no global-set
+    diffing (a diff around the eager checkpoint misattributed lazily-
+    materialized SQL caches, e.g. the minhash signature store, whose RDD
+    ids register at first materialization — round-5 review finding)."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            return int(plan.rdd().id())
+    except Exception:  # pragma: no cover - non-JVM backends
+        pass
+    return None
 
 
 def _unpersist_rdds(sc, ids) -> None:
     jmap = sc._jsc.getPersistentRDDs()
     for rid in ids:
+        if rid is None:
+            continue
         jrdd = jmap.get(rid)
         if jrdd is not None:
             jrdd.unpersist(False)
@@ -869,24 +881,15 @@ def connected_components(
     # is materialized (eager); the FINAL one backs the returned DataFrame,
     # so it is registered with the operator-cache registry (released by
     # operator_cache_scope() exit / release_operator_caches(), and never
-    # budget-evicted: truncated lineage cannot recompute). Checkpoint ids
-    # are attributed by diffing the persistent-RDD set around the eager
-    # checkpoint — safe for the single-driver operator usage this targets.
+    # budget-evicted: truncated lineage cannot recompute). Each checkpoint's
+    # RDD id is read PRECISELY off its LogicalRDD plan (_checkpoint_rdd_id)
+    # — upstream SQL caches can never be misattributed and destroyed.
     sc = pairs.sparkSession.sparkContext
-    # materialize edges (and any upstream operator caches, e.g. the minhash
-    # signature store feeding `pairs`) BEFORE the first persistent-RDD-id
-    # snapshot: cached RDDs register in sc.persistentRdds only at first
-    # materialization, so without this they would register inside the diff
-    # window, be misattributed as checkpoint storage, and get unpersisted
-    # after round 1 — every later round would recompute the whole pairs
-    # pipeline from source (round-5 review finding)
-    edges.count()
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "component", F.col("id")
     )
-    before = _persistent_rdd_ids(sc)
     labels = labels.localCheckpoint()
-    ckpt_ids = _persistent_rdd_ids(sc) - before
+    ckpt_id = _checkpoint_rdd_id(labels)
     changed = 0
     for it in range(max_iterations):
         neighbor_min = (
@@ -928,11 +931,10 @@ def connected_components(
             )
             .drop("__prev")
         )
-        before = _persistent_rdd_ids(sc)
         updated = updated.localCheckpoint()
-        new_ids = _persistent_rdd_ids(sc) - before
-        _unpersist_rdds(sc, ckpt_ids)  # previous round: superseded
-        ckpt_ids = new_ids
+        new_id = _checkpoint_rdd_id(updated)
+        _unpersist_rdds(sc, [ckpt_id])  # previous round: superseded
+        ckpt_id = new_id
         changed = updated.agg(F.sum("__changed")).collect()[0][0] or 0
         labels = updated.drop("__changed")
         if changed == 0:
@@ -940,7 +942,7 @@ def connected_components(
     _cache.release(edges)  # labels are checkpointed; edges no longer needed
     _cache.register_release(
         "connected_components.labels",
-        lambda ids=frozenset(ckpt_ids): _unpersist_rdds(sc, ids),
+        lambda rid=ckpt_id: _unpersist_rdds(sc, [rid]),
         obj=labels,
     )
     if changed:
