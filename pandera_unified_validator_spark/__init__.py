@@ -32,6 +32,7 @@ from .utils.reporting import (
 )
 from .operators.profiler import DataProfiler, ProfileReport
 from .operators.drift import DriftReport, compare_profiles, numeric_drift, token_frequency_drift
+from .operators.pipeline import CurationConfig, curate_corpus
 from .streaming.runner import PartitionedValidationRunner, StreamingResult
 from .session import get_spark
 from .utils.cache import operator_cache_scope, release_operator_caches
@@ -67,4 +68,6 @@ __all__ = [
     "get_logger",
     "operator_cache_scope",
     "release_operator_caches",
+    "CurationConfig",
+    "curate_corpus",
 ]

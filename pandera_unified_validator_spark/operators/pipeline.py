@@ -1,0 +1,112 @@
+"""One-call corpus curation: the standard training-data gate sequence
+composed from this package's operators, in the order the literature runs
+them (RefinedWeb / Gopher / CCNet):
+
+    line dedup → Gopher quality gate → URL blocklist → MinHash near-dup +
+    connected-components keep-one → percentile unigram-LM floor →
+    deterministic stratified sampling
+
+Everything stays lazy until the caller acts on the returned DataFrame;
+operator-level caches (signature store, CC label checkpoints, LM vocab)
+register with ``utils.cache`` — wrap the consuming action in
+``operator_cache_scope()`` to release them once the output is written.
+``tools/submit_corpus_job.py`` is this function plus stage counting and a
+spark-submit harness (verified on a real 3-executor standalone cluster).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Mapping, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["CurationConfig", "curate_corpus"]
+
+
+@dataclass
+class CurationConfig:
+    """Knobs for ``curate_corpus``; every stage can be disabled.
+
+    * ``min_line_chars`` — line-dedup eligibility (None disables the stage)
+    * ``gopher`` — apply the Gopher quality rules
+    * ``blocked_domains`` — drop docs referencing these domains (or their
+      subdomains); empty disables
+    * ``near_dup_threshold`` — MinHash+CC keep-one at this Jaccard (None
+      disables)
+    * ``lm_drop_pct`` — drop the worst N% of docs by unigram-LM mean logp,
+      percentile-calibrated like CCNet's perplexity buckets (None disables);
+      ``lm_reference`` optionally scores against a CLEAN reference corpus
+      instead of the corpus itself (CCNet uses Wikipedia)
+    * ``sample_fractions`` — per-stratum deterministic hash sampling (None
+      disables); ``default_fraction`` applies to unlisted strata
+    """
+
+    min_line_chars: int | None = 30
+    gopher: bool = True
+    blocked_domains: Sequence[str] = ()
+    near_dup_threshold: float | None = 0.8
+    lm_drop_pct: float | None = 10.0
+    lm_vocab_limit: int = 1_000_000
+    lm_reference: DataFrame | None = None
+    sample_fractions: Mapping[str, float] | None = None
+    default_fraction: float = 0.0
+    extra: dict = field(default_factory=dict)
+
+
+def curate_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strata_col: str = "source",
+    config: CurationConfig | None = None,
+) -> DataFrame:
+    """Run the standard curation gate sequence over ``df`` (must carry
+    ``id_col`` and ``text_col``; ``strata_col`` only needed when
+    sampling). Returns the curated DataFrame — lazy except the LM stage,
+    whose percentile calibration necessarily runs jobs (vocab scalar and
+    approxQuantile)."""
+    from .dedup import dedup_by_components, line_dedup, minhash_dedup_pairs
+    from .sampling import stratified_sample
+    from .text import (
+        gopher_quality_flags,
+        unigram_doc_scores,
+        unigram_lm,
+        url_flags,
+    )
+
+    cfg = config or CurationConfig()
+    step = df
+    if cfg.min_line_chars is not None:
+        step = line_dedup(step, id_col, text_col, min_line_chars=cfg.min_line_chars)
+    if cfg.gopher:
+        step = step.filter(gopher_quality_flags(text_col)["passes"])
+    if cfg.blocked_domains:
+        step = step.filter(~url_flags(text_col, list(cfg.blocked_domains))["blocked"])
+    if cfg.near_dup_threshold is not None:
+        pairs = minhash_dedup_pairs(
+            step, id_col, text_col, jaccard_threshold=cfg.near_dup_threshold
+        )
+        step = dedup_by_components(step, pairs, id_col)
+    if cfg.lm_drop_pct is not None:
+        lm = unigram_lm(
+            cfg.lm_reference if cfg.lm_reference is not None else step,
+            text_col,
+            vocab_limit=cfg.lm_vocab_limit,
+        )
+        scores = unigram_doc_scores(step, lm, id_col, text_col)
+        q = scores.approxQuantile("mean_logp", [cfg.lm_drop_pct / 100.0], 0.001)
+        floor = q[0] if q else float("-inf")
+        step = step.join(
+            scores.filter(F.col("mean_logp") > floor).select(id_col), id_col
+        )
+    if cfg.sample_fractions is not None:
+        step = stratified_sample(
+            step,
+            strata_col,
+            dict(cfg.sample_fractions),
+            id_col,
+            default_fraction=cfg.default_fraction,
+        )
+    return step

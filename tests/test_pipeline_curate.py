@@ -1,0 +1,79 @@
+"""curate_corpus: the one-call composition of the curation gates matches
+the manual operator chain, and disabled stages are identity."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandera_unified_validator_spark import CurationConfig, curate_corpus
+from pandera_unified_validator_spark.utils.cache import registry
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    glue = "the story of a walk and the long road with friends that have arrived "
+    rows = []
+    for i in range(120):
+        cl = i // 4
+        cluster_words = " ".join(f"c{cl}w{j}" for j in range(60))
+        boiler = f"subscribe to our newsletter variant {i % 4} for updates today"
+        body = (
+            "9$73 zz9!! 00@@1 xx##7 " * 40
+            if i % 13 == 0
+            else f"{glue}{cluster_words} item {i}"
+        )
+        url = f"\nsee https://ads.blocked.example/p?id={i} now" if i % 11 == 0 else ""
+        rows.append((i, f"src{cl % 2}", f"{boiler}\n{body}{url}"))
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_curate_matches_manual_chain(spark, corpus):
+    from pandera_unified_validator_spark.operators.dedup import (
+        dedup_by_components,
+        line_dedup,
+        minhash_dedup_pairs,
+    )
+    from pandera_unified_validator_spark.operators.text import (
+        gopher_quality_flags,
+        url_flags,
+    )
+
+    registry.release_all()
+    cfg = CurationConfig(
+        blocked_domains=("blocked.example",),
+        lm_drop_pct=None,          # LM floor covered separately (percentile
+        sample_fractions=None,     # calibration is order-dependent)
+    )
+    got = {r["doc_id"] for r in curate_corpus(corpus, config=cfg).collect()}
+
+    step = line_dedup(corpus, min_line_chars=30)
+    step = step.filter(gopher_quality_flags("text")["passes"])
+    step = step.filter(~url_flags("text", ["blocked.example"])["blocked"])
+    pairs = minhash_dedup_pairs(step, jaccard_threshold=0.8)
+    manual = {r["doc_id"] for r in dedup_by_components(step, pairs).collect()}
+    assert got == manual and 0 < len(got) < 120
+    registry.release_all()
+
+
+def test_curate_stage_toggles(spark, corpus):
+    registry.release_all()
+    off = CurationConfig(
+        min_line_chars=None, gopher=False, blocked_domains=(),
+        near_dup_threshold=None, lm_drop_pct=None, sample_fractions=None,
+    )
+    assert curate_corpus(corpus, config=off).count() == 120  # identity
+
+    sampled = CurationConfig(
+        min_line_chars=None, gopher=False, near_dup_threshold=None,
+        lm_drop_pct=None, sample_fractions={"src0": 1.0}, default_fraction=0.0,
+    )
+    out = curate_corpus(corpus, config=sampled)
+    assert out.filter(F.col("source") != "src0").count() == 0
+    assert out.count() == corpus.filter("source = 'src0'").count()
+
+    lm_only = CurationConfig(
+        min_line_chars=None, gopher=False, near_dup_threshold=None,
+        lm_drop_pct=20.0, sample_fractions=None,
+    )
+    n = curate_corpus(corpus, config=lm_only).count()
+    assert 0 < n < 120  # the worst quantile dropped
+    registry.release_all()
