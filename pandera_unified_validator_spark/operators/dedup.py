@@ -820,6 +820,14 @@ def _checkpoint_rdd_id(df: DataFrame) -> int | None:
             return int(plan.rdd().id())
     except Exception:  # pragma: no cover - non-JVM backends
         pass
+    # must be LOUD: a None here means each loop iteration leaks one
+    # truncated-lineage RDD for the session's life (e.g. a Spark version
+    # that no longer plans localCheckpoint as a bare LogicalRDD)
+    _LOG.warning(
+        "could not identify the checkpoint RDD behind a localCheckpoint()ed "
+        "DataFrame (plan is not a bare LogicalRDD); its storage will not be "
+        "freed until the session ends"
+    )
     return None
 
 

@@ -628,6 +628,8 @@ def decode_jpeg(payload: bytes):
         if marker == 0xFF01 or 0xFFD0 <= marker <= 0xFFD7:
             pos += 2  # TEM / RSTn: standalone, no length field
             continue
+        if pos + 4 > n:  # fill-skip may reach the tail of a truncated stream
+            raise ValueError("truncated JPEG header")
         ln = struct.unpack_from(">H", payload, pos + 2)[0]
         body = payload[pos + 4 : pos + 2 + ln]
         if marker == 0xFFDB:

@@ -16,7 +16,7 @@ spark-submit harness (verified on a real 3-executor standalone cluster).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Mapping, Sequence
 
 from pyspark.sql import DataFrame
@@ -38,7 +38,11 @@ class CurationConfig:
     * ``lm_drop_pct`` — drop the worst N% of docs by unigram-LM mean logp,
       percentile-calibrated like CCNet's perplexity buckets (None disables);
       ``lm_reference`` optionally scores against a CLEAN reference corpus
-      instead of the corpus itself (CCNet uses Wikipedia)
+      instead of the corpus itself (CCNet uses Wikipedia). Docs with NO
+      words have no LM score (NULL) and are dropped BY POLICY when this
+      stage is on — with ``gopher`` enabled they are already gone (word
+      count ≥ 50), but corpora curated with the word-count gate off lose
+      wordless rows here.
     * ``sample_fractions`` — per-stratum deterministic hash sampling (None
       disables); ``default_fraction`` applies to unlisted strata
     """
@@ -52,7 +56,6 @@ class CurationConfig:
     lm_reference: DataFrame | None = None
     sample_fractions: Mapping[str, float] | None = None
     default_fraction: float = 0.0
-    extra: dict = field(default_factory=dict)
 
 
 def curate_corpus(
@@ -90,14 +93,26 @@ def curate_corpus(
         )
         step = dedup_by_components(step, pairs, id_col)
     if cfg.lm_drop_pct is not None:
+        from ..utils.cache import registry as _cache
+
+        # the LM stage runs calibration jobs (vocab scalar, approxQuantile)
+        # and the caller acts on the result — without these persists the
+        # whole upstream curation lineage (line-dedup reassembly, the
+        # costliest stage) would recompute up to 4x
+        step = _cache.persist(step, "curate_corpus.pre_lm")
         lm = unigram_lm(
             cfg.lm_reference if cfg.lm_reference is not None else step,
             text_col,
             vocab_limit=cfg.lm_vocab_limit,
         )
-        scores = unigram_doc_scores(step, lm, id_col, text_col)
+        scores = _cache.persist(
+            unigram_doc_scores(step, lm, id_col, text_col),
+            "curate_corpus.lm_scores",
+        )
         q = scores.approxQuantile("mean_logp", [cfg.lm_drop_pct / 100.0], 0.001)
         floor = q[0] if q else float("-inf")
+        # wordless docs (NULL mean_logp) are dropped by policy — see
+        # CurationConfig docstring
         step = step.join(
             scores.filter(F.col("mean_logp") > floor).select(id_col), id_col
         )

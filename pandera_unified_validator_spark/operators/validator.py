@@ -422,10 +422,12 @@ class SparkValidator:
                     cols = dict.fromkeys(
                         list(self.key_columns) + ([c.column] if c.column else [])
                     )
-                    rows = grouped.get(c.name, ())
-                    if rows:
+                    # NOTE: must not rebind `rows` — it still holds the
+                    # per-partition verdict rows used for n_partitions below
+                    sample_rows = grouped.get(c.name, ())
+                    if sample_rows:
                         samples[c.name] = tuple(
-                            {k: row[k] for k in cols} for row in rows
+                            {k: sr[k] for k in cols} for sr in sample_rows
                         )
 
         results = tuple(

@@ -19,8 +19,9 @@ persist through ``registry.persist(df, label)``; the registry
   recomputes on next access, so eviction is always safe, merely slower);
 * offers ``release(df)`` / ``release_all()`` for deterministic frees;
 * offers ``operator_cache_scope()`` — a context manager that releases
-  every cache registered inside the block on exit, the
-  materialize-and-release idiom for pipeline steps::
+  every cache the SAME THREAD registers inside the block on exit (scopes
+  are thread-local; see the function docstring for multi-threaded
+  drivers), the materialize-and-release idiom for pipeline steps::
 
       with operator_cache_scope():
           pairs = minhash_dedup_pairs(docs)
@@ -175,9 +176,16 @@ registry = OperatorCacheRegistry()
 
 @contextmanager
 def operator_cache_scope() -> Iterator[OperatorCacheRegistry]:
-    """Release every operator cache registered inside the block on exit —
-    materialize the results you need (write/collect) BEFORE leaving the
-    scope, or they recompute."""
+    """Release every operator cache THIS THREAD registers inside the block
+    on exit — materialize the results you need (write/collect) BEFORE
+    leaving the scope, or they recompute. Scopes are thread-local by
+    design (another thread's checkpoint entries must never be destroyed by
+    an unrelated scope exit): caches registered from worker threads —
+    e.g. pipeline steps running under a ThreadPoolExecutor — stay tracked
+    in the global registry and are freed by their own thread's scope, the
+    eviction budget (evictable entries), or ``release_operator_caches()``;
+    long-lived multi-threaded drivers should call the latter at step
+    boundaries."""
     registry._scope_enter()
     try:
         yield registry

@@ -66,15 +66,15 @@ def test_minhash_caches_released_after_scope(spark):
     rows = [(i, base + f"tail {i % 3}") for i in range(30)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     registry.release_all()
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()  # other suites' fixtures may cache
     with operator_cache_scope():
         pairs = minhash_dedup_pairs(df, jaccard_threshold=0.5)
         kept = dedup_by_components(df, pairs).collect()  # materialize inside
         assert 0 < len(kept) <= 30
     assert registry.labels() == []
     # nothing from the pipeline left materialized in the session
-    jsc = spark.sparkContext._jsc.sc()
-    cached_rdds = jsc.getPersistentRDDs()
-    assert cached_rdds.size() == 0, cached_rdds
+    assert jsc.getPersistentRDDs().size() == before
 
 
 def test_embedding_cache_released_after_scope(spark):
@@ -139,7 +139,10 @@ def test_connected_components_preserves_upstream_caches(spark):
     assert "minhash_dedup_pairs.signatures" in labels
     assert "connected_components.labels" in labels
     # both stores still materialized: signature cache + label checkpoint
-    n_rdds = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    jsc = spark.sparkContext._jsc.sc()
+    n_rdds = jsc.getPersistentRDDs().size()
     assert n_rdds >= 2, n_rdds
     registry.release_all()
-    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == 0
+    # release drops at least the two operator stores (other suites' cached
+    # fixtures may remain — assert the delta, not an absolute zero)
+    assert jsc.getPersistentRDDs().size() <= n_rdds - 2

@@ -116,22 +116,13 @@ def main() -> int:
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
-    from pyspark.sql import functions as F
 
     spark = SparkSession.builder.appName("puv-corpus-pipeline").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    from pandera_unified_validator_spark.operators.dedup import (
-        dedup_by_components,
-        line_dedup,
-        minhash_dedup_pairs,
-    )
-    from pandera_unified_validator_spark.operators.sampling import stratified_sample
-    from pandera_unified_validator_spark.operators.text import (
-        gopher_quality_flags,
-        unigram_doc_scores,
-        unigram_lm,
-        url_flags,
+    from pandera_unified_validator_spark.operators.pipeline import (
+        CurationConfig,
+        curate_corpus,
     )
     from pandera_unified_validator_spark.utils.cache import operator_cache_scope
 
@@ -140,36 +131,39 @@ def main() -> int:
 
     corpus = spark.read.parquet(args.input)
     stages: dict[str, int] = {"input": corpus.count()}
+    blocked = tuple(d for d in args.blocklist.split(",") if d)
+    fractions = {
+        k: float(v) for k, v in (kv.split("=") for kv in args.sample.split(","))
+    }
 
+    # the tool is curate_corpus with per-stage counters: each stage is one
+    # CurationConfig with only that gate enabled, so the gate logic (incl.
+    # the empty-quantile guard and NULL-score policy) lives in ONE place —
+    # operators/pipeline.py — and the cluster harness cannot diverge
+    off = dict(
+        min_line_chars=None, gopher=False, blocked_domains=(),
+        near_dup_threshold=None, lm_drop_pct=None, sample_fractions=None,
+    )
     with operator_cache_scope():
-        step = line_dedup(corpus, min_line_chars=30)
-        step = step.filter(gopher_quality_flags("text")["passes"])
+        step = curate_corpus(
+            corpus, config=CurationConfig(**{**off, "min_line_chars": 30, "gopher": True})
+        )
         stages["after_line_dedup_and_gopher"] = step.count()
 
-        blocked = [d for d in args.blocklist.split(",") if d]
-        step = step.filter(~url_flags("text", blocked)["blocked"])
+        step = curate_corpus(step, config=CurationConfig(**{**off, "blocked_domains": blocked}))
         stages["after_url_filter"] = step.count()
 
-        pairs = minhash_dedup_pairs(step, "doc_id", "text", jaccard_threshold=0.8)
-        step = dedup_by_components(step, pairs, "doc_id")
+        step = curate_corpus(step, config=CurationConfig(**{**off, "near_dup_threshold": 0.8}))
         stages["after_near_dup"] = step.count()
 
-        lm = unigram_lm(step, vocab_limit=1_000_000)
-        scores = unigram_doc_scores(step, lm)
-        # approxQuantile returns [] on an empty frame (every doc eliminated
-        # by the earlier gates) — treat as no floor instead of crashing
-        # after the expensive dedup stages already ran; NULL-scored
-        # (wordless) docs are dropped by the floor by policy
-        q = scores.approxQuantile("mean_logp", [args.lm_drop_pct / 100.0], 0.001)
-        floor = q[0] if q else float("-inf")
-        good = scores.filter(F.col("mean_logp") > floor)
-        step = step.join(good.select("doc_id"), "doc_id")
+        step = curate_corpus(
+            step, config=CurationConfig(**{**off, "lm_drop_pct": args.lm_drop_pct})
+        )
         stages["after_lm_floor"] = step.count()
 
-        fractions = {
-            k: float(v) for k, v in (kv.split("=") for kv in args.sample.split(","))
-        }
-        step = stratified_sample(step, "source", fractions, "doc_id")
+        step = curate_corpus(
+            step, config=CurationConfig(**{**off, "sample_fractions": fractions})
+        )
         step.write.mode("overwrite").parquet(args.output)
 
     stages["written"] = spark.read.parquet(args.output).count()
