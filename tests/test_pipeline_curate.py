@@ -77,3 +77,26 @@ def test_curate_stage_toggles(spark, corpus):
     n = curate_corpus(corpus, config=lm_only).count()
     assert 0 < n < 120  # the worst quantile dropped
     registry.release_all()
+
+
+def test_curate_lm_reference_corpus(spark, corpus):
+    """lm_reference scores against a CLEAN reference LM (the CCNet shape)
+    instead of the corpus itself: gibberish docs score as pure OOV and the
+    percentile drop removes them preferentially."""
+    registry.release_all()
+    ref = spark.createDataFrame(
+        [(0, "the story of a walk and the long road with friends that have arrived "
+             * 5)],
+        "doc_id long, text string",
+    )
+    cfg = CurationConfig(
+        min_line_chars=None, gopher=False, near_dup_threshold=None,
+        lm_drop_pct=15.0, lm_reference=ref, sample_fractions=None,
+    )
+    out = curate_corpus(corpus, config=cfg)
+    kept = {r["doc_id"] for r in out.collect()}
+    gibberish = {i for i in range(120) if i % 13 == 0}
+    # the gibberish cohort's body is pure OOV noise -> worst scores
+    assert len(kept & gibberish) < len(gibberish)
+    assert 0 < len(kept) < 120
+    registry.release_all()

@@ -265,3 +265,31 @@ def test_windowed_validation_drops_late_data(spark, tmp_path):
     # only [0,10) closed; its counts are batch 1's three events — the late
     # value=-9.0 would have made n_invalid 2 if it had leaked in
     assert emitted == {0: (3, 1)}
+
+
+def test_bloom_config_feeds_monitor_kwargs(spark, tmp_path):
+    """bloom_config output plugs straight into cross_batch_unique_monitor
+    (the documented usage) — keys and value domains line up."""
+    from pandera_unified_validator_spark.streaming.structured import (
+        bloom_config,
+        cross_batch_unique_monitor,
+    )
+
+    src = str(tmp_path / "bc_src")
+    spark.createDataFrame([(f"k{i}",) for i in range(50)], "k string").coalesce(
+        1
+    ).write.parquet(src)
+    stream = spark.readStream.schema("k string").parquet(src)
+    out = cross_batch_unique_monitor(stream, "k", **bloom_config(10_000, 0.01, 4))
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("bc_out")
+        .option("checkpointLocation", str(tmp_path / "bc_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM bc_out").collect()
+    assert sum(r["batch_rows"] for r in rows) == 50
+    assert all(r["probable_dups"] == 0 and r["saturated"] is False for r in rows)
