@@ -112,9 +112,13 @@ def curate_corpus(
         q = scores.approxQuantile("mean_logp", [cfg.lm_drop_pct / 100.0], 0.001)
         floor = q[0] if q else float("-inf")
         # wordless docs (NULL mean_logp) are dropped by policy — see
-        # CurationConfig docstring
+        # CurationConfig docstring. Docs AT the floor are KEPT (>=): a
+        # strict > would drop every doc tied with the quantile value, and
+        # on templated/degenerate corpora where many docs share one score
+        # that drops far more than N% — up to the whole corpus at
+        # lm_drop_pct=0 (advice r5).
         step = step.join(
-            scores.filter(F.col("mean_logp") > floor).select(id_col), id_col
+            scores.filter(F.col("mean_logp") >= floor).select(id_col), id_col
         )
     if cfg.sample_fractions is not None:
         step = stratified_sample(

@@ -381,9 +381,17 @@ def extract_domains(text: Column | str, lowercase: bool = True) -> Column:
     """Distinct registrable hosts referenced by the text (scheme and port
     stripped, lowercased by default) — the key the standard domain
     block/allow-list corpus gate (RefinedWeb's URL filtering stage) joins
-    on."""
+    on. Trailing '.'/'-' are stripped from the host: the URL charset
+    swallows sentence punctuation ("see https://ads.tracker.net." would
+    otherwise extract host "ads.tracker.net." and dodge the blocklist's
+    equality/suffix test — advice r5)."""
     urls = extract_urls(text)
-    doms = F.transform(urls, lambda u: F.regexp_extract(u, _DOMAIN_REGEX, 1))
+    doms = F.transform(
+        urls,
+        lambda u: F.regexp_replace(
+            F.regexp_extract(u, _DOMAIN_REGEX, 1), r"[.-]+$", ""
+        ),
+    )
     if lowercase:
         doms = F.transform(doms, F.lower)
     return F.array_distinct(doms)

@@ -1217,14 +1217,17 @@ def q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``connected_components``) → (id, component = min id of the cluster).
     Oracle: DuckDB rebuilds the exact pair set and takes the min over the
     RECURSIVE transitive closure — the iterative Spark loop must land on
-    the same fixpoint."""
+    the same fixpoint. The DISTRIBUTED loop is forced
+    (``small_graph_edges=None``) so the driver gate attests the iterative
+    path; ``components_deep_chain`` attests the small-graph union-find
+    tier on a deep topology."""
     from .operators.dedup import connected_components, minhash_dedup_pairs
 
     d = _t(spark, sf_dir, "documents")
     pairs = minhash_dedup_pairs(
         d, "doc_id", "text", num_hashes=16, bands=8, jaccard_threshold=0.5
     )
-    return connected_components(pairs).orderBy("id")
+    return connected_components(pairs, small_graph_edges=None).orderBy("id")
 
 
 _SQL_NEAR_DUP_COMPONENTS = r"""
@@ -1445,7 +1448,9 @@ GROUP BY w.source ORDER BY w.source
 def q_url_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL/domain corpus gate under the driver: deterministic URLs
     (variant = doc_id mod 4; one variant is a subdomain of a blocked
-    parent, one has no URL) are appended to documents, then counted and
+    parent written with a trailing sentence period — the r5-advice form
+    that dodged the blocklist before trailing-punct stripping — and one
+    has no URL) are appended to documents, then counted and
     blocklist-flagged per source with the codegen ``url_flags``. Oracle:
     DuckDB runs the IDENTICAL RE2-portable URL/domain regexes and suffix
     rule, so counts and blocked totals must agree exactly."""
@@ -1460,7 +1465,7 @@ def q_url_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("text"),
             F.when(m == 0, F.lit(" see https://good.example.org/page for details"))
             .when(m == 1, F.lit(" via http://cdn.assets.net:8080/lib.js today"))
-            .when(m == 2, F.lit(" tracked by https://ads.tracker.net/pixel?id=1 now"))
+            .when(m == 2, F.lit(" tracked by https://ads.tracker.net. now"))
             .otherwise(F.lit(" no links in this one")),
         ).alias("text"),
     )
@@ -1483,7 +1488,7 @@ WITH inj AS (
          text || CASE doc_id % 4
            WHEN 0 THEN ' see https://good.example.org/page for details'
            WHEN 1 THEN ' via http://cdn.assets.net:8080/lib.js today'
-           WHEN 2 THEN ' tracked by https://ads.tracker.net/pixel?id=1 now'
+           WHEN 2 THEN ' tracked by https://ads.tracker.net. now'
            ELSE ' no links in this one' END AS text
   FROM documents
 ),
@@ -1494,7 +1499,9 @@ f AS (
          list_distinct(list_transform(
              regexp_extract_all(text,
                'https?://[A-Za-z0-9.-]+(:[0-9]+)?(/[A-Za-z0-9._~:/?#@!$&*+,;=%-]*)?'),
-             u -> lower(regexp_extract(u, 'https?://([A-Za-z0-9.-]+)', 1)))) AS doms
+             u -> lower(regexp_replace(
+                    regexp_extract(u, 'https?://([A-Za-z0-9.-]+)', 1),
+                    '[.-]+$', '')))) AS doms
   FROM inj
 )
 SELECT source,
@@ -1714,14 +1721,18 @@ FROM doc GROUP BY source ORDER BY source
 
 
 def q_components_deep_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pointer-doubling convergence under the driver gate: consecutive
+    """Deep-topology components under the driver gate: consecutive
     doc_ids WITHIN each source form one path graph per source — component
-    diameter ≈ docs-per-source (hundreds at gate scale), far past the
-    round-4 one-hop loop's default 25 rounds, so this query is only
-    correct because label propagation shortcuts ``component :=
-    component[component]`` each round (O(log diameter)). Oracle: a chain
-    connects the whole source, so every chained doc's component is simply
-    ``min(doc_id) OVER source`` — exact closed form, no recursion needed."""
+    diameter ≈ docs-per-source (hundreds at gate scale). Round 6: the
+    auto tier routes this provably-small graph to driver union-find (one
+    collect instead of ~10 checkpoint-loop jobs — the r5 verdict's
+    most-expensive-gate-query fix), so this query attests the SMALL tier
+    on exactly the topology where a broken transitive closure would show;
+    the distributed loop (pointer doubling, O(log diameter) rounds) is
+    forced and attested by ``near_dup_components`` and the 200-node-chain
+    unit test. Oracle: a chain connects the whole source, so every
+    chained doc's component is simply ``min(doc_id) OVER source`` — exact
+    closed form, no recursion needed."""
     from .operators.dedup import connected_components
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "source")

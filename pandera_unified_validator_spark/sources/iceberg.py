@@ -70,12 +70,18 @@ def current_snapshot_id(spark: SparkSession, table: str) -> int:
     ``.snapshots`` metadata table — a metadata read, no data scan. Used by
     ``run_iceberg`` to PIN an unpinned run up front so its lineage markers
     name a concrete snapshot (resuming against markers stamped "latest"
-    would silently skip partitions that changed since — advice r4)."""
+    would silently skip partitions that changed since — advice r4).
+    Ordered by (committed_at DESC, snapshot_id DESC): Iceberg commit
+    timestamps are millisecond-resolution and back-to-back commits can
+    tie, which would make the resolved "current" snapshot — and hence the
+    resume lineage markers — nondeterministic (advice r5)."""
     if not iceberg_available(spark):
         raise NotImplementedError("Iceberg runtime jar not available (see read_iceberg)")
+    from pyspark.sql import functions as F
+
     row = (
         spark.read.table(f"{table}.snapshots")
-        .orderBy("committed_at", ascending=False)
+        .orderBy(F.desc("committed_at"), F.desc("snapshot_id"))
         .select("snapshot_id")
         .first()
     )

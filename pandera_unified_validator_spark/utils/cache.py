@@ -62,15 +62,29 @@ class _Entry:
     # destroys them (no recompute), so the budget must never evict them —
     # only explicit release / scope exit may.
     evictable: bool = True
+    # True when some open operator_cache_scope() captured this entry at
+    # registration: its lifecycle belongs to that scope, so same-label
+    # supersession must not release it early (the scoping caller may hold
+    # both results live inside the block)
+    scoped: bool = field(default=False, compare=False)
     released: bool = field(default=False, compare=False)
+    # budget eviction, release(df), and scope exit can race on different
+    # threads; the check-and-set must be atomic or release_fn fires twice
+    # (harmless for idempotent unpersist, fatal for a future non-idempotent
+    # callback — advice r5)
+    _release_lock: threading.Lock = field(
+        default_factory=threading.Lock, compare=False, repr=False
+    )
 
     def release(self) -> None:
-        if not self.released:
+        with self._release_lock:
+            if self.released:
+                return
             self.released = True
-            try:
-                self.release_fn()
-            except Exception:  # pragma: no cover - session already stopped
-                _LOG.debug("release of operator cache %r failed", self.label)
+        try:
+            self.release_fn()
+        except Exception:  # pragma: no cover - session already stopped
+            _LOG.debug("release of operator cache %r failed", self.label)
 
 
 class OperatorCacheRegistry:
@@ -104,6 +118,7 @@ class OperatorCacheRegistry:
         with self._lock:
             self._entries.append(entry)
             if self._scopes:
+                entry.scoped = True
                 self._scopes[-1].append(entry)
             n_evictable = sum(e.evictable for e in self._entries)
             if n_evictable > self.max_entries:
@@ -136,7 +151,31 @@ class OperatorCacheRegistry:
     ) -> None:
         """Track an externally-materialized store (e.g. a localCheckpoint
         RDD) so scope exit / release_all frees it. NOT budget-evictable:
-        checkpointed lineage cannot recompute after release."""
+        checkpointed lineage cannot recompute after release.
+
+        A NEW registration under an already-tracked label SUPERSEDES the
+        old entry: the old release callback fires immediately — a driver
+        loop calling e.g. ``connected_components`` outside any scope
+        previously leaked one checkpoint RDD per call, forever (round-5
+        verdict #3). Entries captured by a still-open scope are exempt
+        (that scope's caller may hold both results live inside the block
+        and the scope exit frees them anyway); callers outside scopes who
+        need two live results under one operator must use distinct labels
+        (``connected_components(cache_label=...)``)."""
+        stale = []
+        with self._lock:
+            for e in self._entries:
+                if e.label == label and not e.evictable and not e.scoped:
+                    stale.append(e)
+            stale_ids = {id(e) for e in stale}
+            self._entries = [e for e in self._entries if id(e) not in stale_ids]
+        for e in stale:
+            _LOG.info(
+                "operator cache entry %r superseded by a new registration; "
+                "releasing the old store",
+                label,
+            )
+            e.release()
         self._track(_Entry(label, release_fn, obj=obj, evictable=False))
 
     def release(self, obj: Any) -> None:

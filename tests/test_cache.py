@@ -133,7 +133,7 @@ def test_connected_components_preserves_upstream_caches(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     registry.release_all()
     pairs = minhash_dedup_pairs(df, jaccard_threshold=0.5)
-    kept = dedup_by_components(df, pairs).collect()
+    kept = dedup_by_components(df, pairs, small_graph_edges=None).collect()
     assert 0 < len(kept) <= 30
     labels = registry.labels()
     assert "minhash_dedup_pairs.signatures" in labels
@@ -146,3 +146,51 @@ def test_connected_components_preserves_upstream_caches(spark):
     # release drops at least the two operator stores (other suites' cached
     # fixtures may remain — assert the delta, not an absolute zero)
     assert jsc.getPersistentRDDs().size() <= n_rdds - 2
+
+
+def test_cc_loop_outside_scope_supersedes_checkpoints(spark):
+    """Round-6 verdict #3: a driver loop calling connected_components
+    OUTSIDE any scope must not accrete one non-evictable checkpoint RDD
+    per call — a new registration under the same label releases the
+    superseded store."""
+    from pandera_unified_validator_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    registry.release_all()
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    last = None
+    for _ in range(3):
+        last = connected_components(pairs, small_graph_edges=None)
+        last.collect()
+    labels = registry.labels()
+    assert labels.count("connected_components.labels") == 1
+    # at most ONE label checkpoint RDD outlives the loop
+    assert jsc.getPersistentRDDs().size() <= before + 1
+    # the surviving (latest) result is still readable
+    got = {r["id"]: r["component"] for r in last.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    registry.release_all()
+    assert jsc.getPersistentRDDs().size() == before
+
+
+def test_cc_distinct_cache_labels_keep_both_results(spark):
+    """Callers outside scopes that need two live CC results use distinct
+    cache labels; neither store is superseded."""
+    from pandera_unified_validator_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pa = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    pb = spark.createDataFrame([(5, 6)], "id_a long, id_b long")
+    registry.release_all()
+    ca = connected_components(pa, cache_label="cc.a", small_graph_edges=None)
+    cb = connected_components(pb, cache_label="cc.b", small_graph_edges=None)
+    assert {r["component"] for r in ca.collect()} == {1}
+    assert {r["component"] for r in cb.collect()} == {5}
+    assert "cc.a" in registry.labels() and "cc.b" in registry.labels()
+    registry.release_all()

@@ -458,6 +458,13 @@ def test_connected_components_and_cluster_dedup(spark):
         "id_a long, id_b long",
     )
     comp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    # the small-graph tier (driver union-find) and the forced distributed
+    # loop must land on the identical fixpoint
+    dist = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs, small_graph_edges=None).collect()
+    }
+    assert dist == comp
     assert {comp[i] for i in (1, 2, 3, 4, 5)} == {1}
     assert comp[10] == comp[11] == 10
     assert comp[20] == comp[21] == comp[22] == 20
@@ -479,7 +486,10 @@ def test_connected_components_converges_on_long_chain(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(200)], "id_a long, id_b long"
     )
-    comp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    comp = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs, small_graph_edges=None).collect()
+    }
     assert set(comp.values()) == {0} and len(comp) == 201
 
 
@@ -505,13 +515,15 @@ def test_connected_components_warns_on_non_convergence(spark, caplog):
     try:
         with caplog.at_level("WARNING", logger="pandera_unified_validator_spark"):
             comp = {r["id"]: r["component"] for r in
-                    connected_components(pairs, max_iterations=1).collect()}
+                    connected_components(pairs, max_iterations=1,
+                                         small_graph_edges=None).collect()}
     finally:
         pkg.propagate = prev
     assert len(set(comp.values())) > 1  # genuinely under-merged
     assert any("UNDER-merged" in rec.message for rec in caplog.records)
     with pytest.raises(RuntimeError, match="UNDER-merged"):
-        connected_components(pairs, max_iterations=1, strict=True)
+        connected_components(pairs, max_iterations=1, strict=True,
+                             small_graph_edges=None)
 
 
 def test_line_dedup_removes_cross_doc_boilerplate(spark):
@@ -534,7 +546,7 @@ def test_line_dedup_removes_cross_doc_boilerplate(spark):
     assert out[1] == f"unique first line of doc one\n{boiler}\nshort"  # first copy kept
     assert out[2] == "unique middle content of doc two goes right here"
     assert out[3] == "short\n"                    # blank + short lines kept
-    assert out[4] == ""                           # NULL text -> empty doc
+    assert out[4] is None                         # NULL text preserved (advice r5)
     # duplicate WITHIN one doc also collapses to the first position
     within = spark.createDataFrame(
         [(7, f"{boiler}\nmiddle line that is long enough to be eligible\n{boiler}")],

@@ -266,3 +266,68 @@ def test_line_dedup_properties(spark, docs):
         ).collect()
     }
     assert got2 == got
+
+
+@SET
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(
+                [
+                    "",  # empty paragraph
+                    "short para",
+                    "y" * 35,                      # eligible, constant -> dups
+                    "boilerplate paragraph repeated across documents alpha",
+                    "first line of a paragraph\nsecond line making it long",
+                    "a genuinely unique-ish paragraph padded to length zz",
+                    "trailing newline paragraph padded for eligibility\n",
+                ]
+            ),
+            min_size=0,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_paragraph_dedup_properties(spark, docs):
+    """granularity='paragraph' (round 6): output equals a python reference
+    that splits the JOINED text on \\n\\n+ (both engines see the same
+    canonicalized units, including the 3+-newline collapse), dedups
+    eligible paragraphs corpus-wide first-occurrence, and rejoins with one
+    blank line; idempotent on its own output."""
+    import re
+
+    from pandera_unified_validator_spark.operators.dedup import line_dedup
+
+    rows = [(i, "\n\n".join(ps)) for i, ps in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    seen = set()
+    expected = {}
+    for i, text in rows:
+        out = []
+        for p in re.split(r"\n\n+", text):
+            if len(p) < 30:
+                out.append(p)
+            elif p not in seen:
+                seen.add(p)
+                out.append(p)
+        expected[i] = "\n\n".join(out)
+
+    got = {
+        r["doc_id"]: r["text"]
+        for r in line_dedup(
+            df, min_line_chars=30, granularity="paragraph"
+        ).collect()
+    }
+    assert got == expected
+    got2 = {
+        r["doc_id"]: r["text"]
+        for r in line_dedup(
+            spark.createDataFrame(sorted(got.items()), "doc_id int, text string"),
+            min_line_chars=30,
+            granularity="paragraph",
+        ).collect()
+    }
+    assert got2 == got
