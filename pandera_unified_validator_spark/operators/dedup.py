@@ -38,6 +38,7 @@ __all__ = [
     "lsh_candidate_pairs",
     "jaccard",
     "minhash_dedup_pairs",
+    "minhash_dedup_pairs_incremental",
     "simhash",
     "simhash_near_dup_pairs",
     "ngram_jaccard_pairs",
@@ -191,26 +192,19 @@ def minhash_signatures_df(
     return agg.select(*out_cols)
 
 
-def lsh_candidate_pairs(
+def _banded(
     df: DataFrame,
     id_col: str,
     sig_col: str,
     bands: int,
     rows_per_band: int,
+    carry: Sequence[str] = (),
 ) -> DataFrame:
-    """Band the signature, hash each band, equi-join docs sharing a band
-    bucket → candidate pairs (a < b). The join is the scale move: candidate
-    generation is linear in corpus size + bucket sizes, never all-pairs.
-
-    Each band bucket is one codegen'd ``xxhash64(band_no, sig[i], …)`` over
-    the band's signature elements — whole-stage-generated, unlike the
-    round-3 ``F.transform`` + array→string casts, which ran interpreted per
-    row (the same explode-vs-HOF trade CLAUDE.md measured at ~7x on the
-    minhash aggregation). Candidates are identical either way: two docs
-    share a bucket iff their band elements are equal (modulo a vanishing
-    2^-64 hash collision, which verification removes)."""
-    banded = df.select(
+    """(id, carry..., band, bucket) rows: one codegen'd
+    ``xxhash64(band_no, sig[i], …)`` per band, posexploded."""
+    return df.select(
         F.col(id_col).alias("__id"),
+        *[F.col(c) for c in carry],
         F.posexplode(
             F.array(
                 *[
@@ -226,6 +220,32 @@ def lsh_candidate_pairs(
             )
         ).alias("__band", "__bucket"),
     )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    sig_col: str,
+    bands: int,
+    rows_per_band: int,
+    carry: Sequence[str] = (),
+) -> DataFrame:
+    """Band the signature, hash each band, equi-join docs sharing a band
+    bucket → candidate pairs (a < b). The join is the scale move: candidate
+    generation is linear in corpus size + bucket sizes, never all-pairs.
+
+    Each band bucket is one codegen'd ``xxhash64(band_no, sig[i], …)`` over
+    the band's signature elements — whole-stage-generated, unlike the
+    round-3 ``F.transform`` + array→string casts, which ran interpreted per
+    row (the same explode-vs-HOF trade CLAUDE.md measured at ~7x on the
+    minhash aggregation). Candidates are identical either way: two docs
+    share a bucket iff their band elements are equal (modulo a vanishing
+    2^-64 hash collision, which verification removes).
+
+    ``carry`` columns (functionally dependent on the id, e.g. an
+    old/new-corpus flag) ride through the join and come back as
+    ``<col>_a`` / ``<col>_b``."""
+    banded = _banded(df, id_col, sig_col, bands, rows_per_band, carry)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -235,7 +255,12 @@ def lsh_candidate_pairs(
             & (F.col("l.__bucket") == F.col("r.__bucket"))
             & (F.col("l.__id") < F.col("r.__id")),
         )
-        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            *[F.col(f"l.{c}").alias(f"{c}_a") for c in carry],
+            *[F.col(f"r.{c}").alias(f"{c}_b") for c in carry],
+        )
         .distinct()
     )
 
@@ -295,6 +320,117 @@ def minhash_dedup_pairs(
         .withColumn("jaccard_sim", F.round(jaccard("__sh_a", "__sh_b"), 4))
         .filter(F.col("jaccard_sim") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard_sim")
+    )
+
+
+def minhash_dedup_pairs_incremental(
+    new_df: DataFrame,
+    old_sigs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Cross-snapshot (incremental) MinHash near-dup: dedup a NEW crawl
+    against an EXISTING corpus — and within itself — WITHOUT re-shingling
+    the historical corpus. ``old_sigs`` is the persisted signature store
+    (``minhash_signatures_df(old_corpus, include_shingle_hashes=True)``
+    written to parquet at the previous snapshot): columns ``(id_col,
+    __sig, __shh)``. Returns ``(id_a, id_b, jaccard_sim, a_is_new,
+    b_is_new)`` for every verified pair where AT LEAST ONE side is new —
+    old×old pairs were already found at the previous snapshot and are
+    skipped in the band join itself (not post-filtered), so no verify
+    work is spent re-discovering them. Append the new signatures
+    (``minhash_signatures_df(new_df, ..., include_shingle_hashes=True)``)
+    to the store to roll the snapshot forward.
+
+    This is the single most common 100 TB production shape (corpus
+    refresh): the historical side contributes only fixed-width longs read
+    straight off parquet — its text is never read, never shingled, never
+    shuffled — so a refresh costs O(new corpus) shingling plus one banded
+    equi-join against the store. The band join is ASYMMETRIC — new-banded
+    rows against all-banded rows — so old×old pairs are never even
+    enumerated inside a bucket (a symmetric all×all join with a
+    post-filter would still pay |old-bucket|² pair enumeration per
+    bucket, quadratic in the historical corpus this operator exists to
+    avoid rescanning). ``num_hashes``/``bands``/``shingle_k`` MUST match
+    the store's build parameters (signatures from mismatched parameters
+    band meaninglessly); a cheap one-row probe validates the stored
+    signature width."""
+    expected = [id_col, "__sig", "__shh"]
+    missing = [c for c in expected if c not in old_sigs.columns]
+    if missing:
+        raise ValueError(
+            f"old_sigs must carry {expected} (from minhash_signatures_df("
+            f"include_shingle_hashes=True)); missing {missing}"
+        )
+    probe = old_sigs.select(F.size("__sig").alias("n")).limit(1).collect()
+    if probe and probe[0]["n"] != num_hashes:
+        raise ValueError(
+            f"old_sigs stores {probe[0]['n']}-hash signatures but "
+            f"num_hashes={num_hashes}; rebuild or pass matching parameters"
+        )
+    rows_per_band = num_hashes // bands
+    new_sigs = _cache.persist(
+        minhash_signatures_df(
+            new_df, id_col, text_col, num_hashes, shingle_k,
+            include_shingle_hashes=True,
+        ),
+        "minhash_incremental.new_signatures",
+    )
+    tagged = new_sigs.withColumn("__new", F.lit(True)).unionByName(
+        old_sigs.select(id_col, "__sig", "__shh").withColumn("__new", F.lit(False))
+    )
+    banded_new = _banded(
+        new_sigs.withColumn("__new", F.lit(True)),
+        id_col, "__sig", bands, rows_per_band, carry=["__new"],
+    ).alias("l")
+    banded_all = _banded(
+        tagged, id_col, "__sig", bands, rows_per_band, carry=["__new"]
+    ).alias("r")
+    # each new×new pair matches twice ((a,b) and (b,a)) — least/greatest
+    # normalization + distinct collapses them; new×old matches once
+    cand = (
+        banded_new.join(
+            banded_all,
+            (F.col("l.__band") == F.col("r.__band"))
+            & (F.col("l.__bucket") == F.col("r.__bucket"))
+            & (F.col("l.__id") != F.col("r.__id")),
+        )
+        .select(
+            F.least(F.col("l.__id"), F.col("r.__id")).alias("id_a"),
+            F.greatest(F.col("l.__id"), F.col("r.__id")).alias("id_b"),
+            F.when(F.col("l.__id") < F.col("r.__id"), F.col("l.__new"))
+            .otherwise(F.col("r.__new"))
+            .alias("__new_a"),
+            F.when(F.col("l.__id") < F.col("r.__id"), F.col("r.__new"))
+            .otherwise(F.col("l.__new"))
+            .alias("__new_b"),
+        )
+        .distinct()
+    )
+    sh = tagged.select(F.col(id_col), F.col("__shh"))
+    return (
+        cand.join(
+            sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("__shh", "__sh_a"),
+            "id_a",
+        )
+        .join(
+            sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("__shh", "__sh_b"),
+            "id_b",
+        )
+        .withColumn("jaccard_sim", F.round(jaccard("__sh_a", "__sh_b"), 4))
+        .filter(F.col("jaccard_sim") >= jaccard_threshold)
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard_sim",
+            F.col("__new_a").alias("a_is_new"),
+            F.col("__new_b").alias("b_is_new"),
+        )
     )
 
 

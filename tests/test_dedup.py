@@ -584,3 +584,57 @@ def test_token_contamination_flags(spark):
     }
     assert set(got) == {1, 4}
     assert got[1] == 5 and got[4] == 1  # windows of 10..21 inside 5..24: 5
+
+
+def test_minhash_incremental_reads_store_not_text(spark, tmp_path):
+    """Cross-snapshot dedup (round 6): the OLD corpus side must come from
+    the persisted signature store, never recomputed from text. Proof is
+    behavioral: the store is built from v1 text, the old corpus then
+    MUTATES (v2) — pairs still reflect v1 (a new doc identical to a v1
+    old doc pairs at jaccard 1.0 even though no live text matches it),
+    which is impossible if the engine re-shingled the old side. Also
+    covers: old x old pairs absent, new x new pairs found, flags correct,
+    signature-width probe raises on parameter mismatch."""
+    from pandera_unified_validator_spark.operators.dedup import (
+        minhash_dedup_pairs_incremental,
+        minhash_signatures_df,
+    )
+
+    old_v1 = spark.createDataFrame(
+        [(1, BASE), (2, OTHER), (3, BASE)], "doc_id int, text string"
+    )
+    store_path = str(tmp_path / "sigstore")
+    minhash_signatures_df(
+        old_v1, "doc_id", "text", 32, 5, include_shingle_hashes=True
+    ).write.parquet(store_path)
+    old_sigs = spark.read.parquet(store_path)
+
+    # old corpus text has since changed; doc 1 no longer matches BASE
+    new_docs = spark.createDataFrame(
+        [(10, BASE), (11, BASE), (12, "entirely unrelated fresh content here")],
+        "doc_id int, text string",
+    )
+    pairs = minhash_dedup_pairs_incremental(
+        new_docs, old_sigs, num_hashes=32, bands=16, jaccard_threshold=0.5
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["jaccard_sim"], r["a_is_new"], r["b_is_new"])
+        for r in pairs.collect()
+    }
+    # v1 store: docs 1 and 3 were BASE -> new 10/11 pair with both
+    assert got[(1, 10)] == (1.0, False, True)
+    assert got[(3, 10)] == (1.0, False, True)
+    assert got[(10, 11)] == (1.0, True, True)   # new x new still found
+    assert (1, 3) not in got                    # old x old never emitted
+    assert all(a or b for (_, a, b) in got.values())
+    # the store's parquet scan is in the plan (paths are elided in
+    # toString, so match the pruned ReadSchema: the store has no text
+    # column, only the signature longs)
+    plan = pairs._jdf.queryExecution().toString()
+    assert "__shh:array<bigint>" in plan and "Parquet" in plan
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="num_hashes=16"):
+        minhash_dedup_pairs_incremental(new_docs, old_sigs, num_hashes=16, bands=8)
+    with _pytest.raises(ValueError, match="missing"):
+        minhash_dedup_pairs_incremental(new_docs, old_sigs.drop("__shh"))
