@@ -1597,20 +1597,24 @@ FROM r GROUP BY source ORDER BY source
 
 
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-level exact line dedup under the driver gate: deterministic
-    boilerplate lines (variant = doc_id mod 3, ≥30 chars) plus a short
-    line are appended to every document; ``line_dedup`` must keep each
-    boilerplate variant only at its smallest (doc_id, pos) while keeping
-    every short line, and reassemble text in order. Oracle: DuckDB
-    replays the injection, the first-occurrence winner rule and the
-    reassembly, then compares per-source doc counts, total text length,
-    and an md5-derived integer content checksum (any reassembly
-    divergence flips the checksum)."""
+    """Corpus-level exact line AND paragraph dedup under the driver gate
+    (RefinedWeb runs both granularities; round-6 verdict #6 parameterized
+    this oracle over the splitter). Line mode: deterministic boilerplate
+    lines (variant = doc_id mod 3, ≥30 chars) plus a short line are
+    appended to every document; each variant survives only at its
+    smallest (doc_id, pos) while every short line is kept. Paragraph
+    mode: a blank-line-separated boilerplate PARAGRAPH (same variant
+    rule) plus a short paragraph are appended, and the ``\\n\\n+`` splitter
+    must dedup the whole unit. Oracle: DuckDB replays both injections,
+    winner rules and reassemblies (regexp split for paragraph mode),
+    then compares per-(mode, source) doc counts, total text length, and
+    an md5-derived integer content checksum (any reassembly divergence
+    flips the checksum)."""
     from .operators.dedup import line_dedup
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
     m = F.pmod(F.col("doc_id"), F.lit(3)).cast("string")
-    injected = d.withColumn(
+    inj_line = d.withColumn(
         "text",
         F.concat(
             F.col("text"),
@@ -1619,22 +1623,40 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(" accept all\nshort tail"),
         ),
     )
-    out = line_dedup(injected, min_line_chars=30)
-    return (
-        out.groupBy("source")
-        .agg(
+    inj_para = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit("\n\nfooter paragraph boilerplate variant number "),
+            m,
+            F.lit(" all rights reserved\ncontact the webmaster\n\nshort"),
+        ),
+    )
+
+    def _summ(out: DataFrame, mode: str) -> DataFrame:
+        return out.groupBy("source").agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.length("text")).alias("chars_sum"),
             F.sum(
                 F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
             ).alias("content_sum"),
+        ).withColumn("mode", F.lit(mode))
+
+    return (
+        _summ(line_dedup(inj_line, min_line_chars=30), "line")
+        .unionByName(
+            _summ(
+                line_dedup(inj_para, min_line_chars=30, granularity="paragraph"),
+                "paragraph",
+            )
         )
-        .orderBy("source")
+        .select("mode", "source", "n_docs", "chars_sum", "content_sum")
+        .orderBy("mode", "source")
     )
 
 
 _SQL_LINE_DEDUP = """
-WITH inj AS (
+WITH inj_line AS (
   SELECT doc_id, source,
          text || chr(10) || 'cookie banner boilerplate variant number '
               || CAST(doc_id % 3 AS VARCHAR) || ' accept all'
@@ -1643,7 +1665,7 @@ WITH inj AS (
 ),
 l AS (
   SELECT doc_id, source, u.line, u.pos
-  FROM inj, LATERAL (
+  FROM inj_line, LATERAL (
     SELECT unnest(string_split(text, chr(10))) AS line,
            generate_subscripts(string_split(text, chr(10)), 1) AS pos
   ) AS u
@@ -1655,16 +1677,49 @@ w AS (
               ELSE 1 END AS rn
   FROM l
 ),
-rebuilt AS (
+rebuilt_line AS (
   SELECT doc_id, any_value(source) AS source,
          coalesce(string_agg(CASE WHEN rn = 1 THEN line END, chr(10) ORDER BY pos), '') AS text
   FROM w GROUP BY doc_id
+),
+inj_para AS (
+  SELECT doc_id, source,
+         text || chr(10) || chr(10)
+              || 'footer paragraph boilerplate variant number '
+              || CAST(doc_id % 3 AS VARCHAR) || ' all rights reserved'
+              || chr(10) || 'contact the webmaster'
+              || chr(10) || chr(10) || 'short' AS text
+  FROM documents
+),
+p AS (
+  SELECT doc_id, source, u.para, u.pos
+  FROM inj_para, LATERAL (
+    SELECT unnest(regexp_split_to_array(text, '\n\n+')) AS para,
+           generate_subscripts(regexp_split_to_array(text, '\n\n+'), 1) AS pos
+  ) AS u
+),
+wp AS (
+  SELECT doc_id, source, para, pos,
+         CASE WHEN length(para) >= 30
+              THEN row_number() OVER (PARTITION BY para ORDER BY doc_id, pos)
+              ELSE 1 END AS rn
+  FROM p
+),
+rebuilt_para AS (
+  SELECT doc_id, any_value(source) AS source,
+         coalesce(string_agg(CASE WHEN rn = 1 THEN para END, chr(10) || chr(10) ORDER BY pos), '') AS text
+  FROM wp GROUP BY doc_id
+),
+modes AS (
+  SELECT 'line' AS mode, source, text FROM rebuilt_line
+  UNION ALL
+  SELECT 'paragraph' AS mode, source, text FROM rebuilt_para
 )
-SELECT source,
+SELECT mode, source,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(length(text)) AS BIGINT) AS chars_sum,
        CAST(sum(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS content_sum
-FROM rebuilt GROUP BY source ORDER BY source
+FROM modes GROUP BY mode, source ORDER BY mode, source
 """
 
 
