@@ -3,8 +3,9 @@ composed from this package's operators, in the order the literature runs
 them (RefinedWeb / Gopher / CCNet):
 
     line dedup → Gopher quality gate → URL blocklist → MinHash near-dup +
-    connected-components keep-one → percentile unigram-LM floor →
-    deterministic stratified sampling
+    connected-components keep-one → learned hashed-ngram quality filter
+    (optional) → percentile unigram-LM floor → deterministic stratified
+    sampling
 
 Everything stays lazy until the caller acts on the returned DataFrame;
 operator-level caches (signature store, CC label checkpoints, LM vocab)
@@ -17,10 +18,13 @@ spark-submit harness (verified on a real 3-executor standalone cluster).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Mapping, Sequence
+from typing import TYPE_CHECKING, Mapping, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+if TYPE_CHECKING:  # annotation-only; avoids a module-load cycle
+    from .text import GramClassifier
 
 __all__ = ["CurationConfig", "curate_corpus"]
 
@@ -35,6 +39,11 @@ class CurationConfig:
       subdomains); empty disables
     * ``near_dup_threshold`` — MinHash+CC keep-one at this Jaccard (None
       disables)
+    * ``quality_classifier`` — a trained ``text.GramClassifier``
+      (fastText-style hashed-ngram linear filter, the learned gate of the
+      CCNet/DCLM lineage); docs scoring below ``classifier_min_prob`` are
+      dropped. Wordless docs have no score (NULL prob) and are dropped by
+      policy, same as the LM stage. None disables.
     * ``lm_drop_pct`` — drop the worst N% of docs by unigram-LM mean logp,
       percentile-calibrated like CCNet's perplexity buckets (None disables);
       ``lm_reference`` optionally scores against a CLEAN reference corpus
@@ -51,6 +60,8 @@ class CurationConfig:
     gopher: bool = True
     blocked_domains: Sequence[str] = ()
     near_dup_threshold: float | None = 0.8
+    quality_classifier: "GramClassifier | None" = None
+    classifier_min_prob: float = 0.5
     lm_drop_pct: float | None = 10.0
     lm_vocab_limit: int = 1_000_000
     lm_reference: DataFrame | None = None
@@ -92,6 +103,21 @@ def curate_corpus(
             step, id_col, text_col, jaccard_threshold=cfg.near_dup_threshold
         )
         step = dedup_by_components(step, pairs, id_col)
+    if cfg.quality_classifier is not None:
+        from .text import score_gram_classifier
+
+        # one explode -> broadcast weight join -> groupBy(doc) -> semi
+        # filter; text never shuffles. NULL prob (wordless doc) fails the
+        # >= comparison, implementing the drop-by-policy contract.
+        scored = score_gram_classifier(
+            step, cfg.quality_classifier, id_col, text_col
+        )
+        step = step.join(
+            scored.filter(
+                F.col("prob") >= cfg.classifier_min_prob
+            ).select(id_col),
+            id_col,
+        )
     if cfg.lm_drop_pct is not None:
         from ..utils.cache import registry as _cache
 

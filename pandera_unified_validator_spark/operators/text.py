@@ -10,6 +10,8 @@ return annotated DataFrames.
 
 from __future__ import annotations
 
+import math
+from dataclasses import dataclass
 from functools import reduce
 from operator import add, and_
 from typing import Sequence
@@ -36,6 +38,10 @@ __all__ = [
     "gopher_quality_flags",
     "unigram_lm",
     "unigram_doc_scores",
+    "gram_strings",
+    "GramClassifier",
+    "train_gram_classifier",
+    "score_gram_classifier",
     "analyze_text",
 ]
 
@@ -582,6 +588,215 @@ def unigram_doc_scores(
                 )
             ).alias("mean_logp"),
         )
+    )
+
+
+# ------------------------------ hashed-ngram linear quality classifier ----
+def gram_strings(text: Column | str, k: int = 1) -> Column:
+    """Word k-gram array as lowercased STRINGS; docs shorter than k words
+    yield one whole-doc gram (``dedup.shingles``' short-doc rule, so the
+    string and hash gram identities agree everywhere). The oracle-
+    replayable gram form — DuckDB rebuilds identical strings."""
+    ws = words(text)
+    n = F.size(ws)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(ws, i, k)),
+    )
+    return F.when(n > 0, grams).otherwise(F.array().cast("array<string>"))
+
+
+def _gram_bucket_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_buckets: int,
+    ngram_max: int,
+    hash_fn: str,
+    extra_cols: Sequence[str] = (),
+    keep_empty_docs: bool = False,
+) -> DataFrame:
+    """One row per gram OCCURRENCE (multiset, k = 1..ngram_max) with its
+    hashed feature bucket ``__b``: (id, *extra, __b).
+
+    ``hash_fn="xxhash64"`` is the hot path — word hashed once, gram hash
+    combines word hashes (``_gram_hashes``), no gram string ever built.
+    ``hash_fn="md5"`` buckets ``pmod(int(md5(gram)[:8]), B)`` over REAL
+    gram strings — byte-replayable in DuckDB (``('0x' || substr(md5, 1,
+    8))::BIGINT % B``), the cross-engine-oracle form. Both are pure
+    codegen; bucket ASSIGNMENTS differ between the two (different hash →
+    different collisions), so a model must be scored with the hash it was
+    trained with (``GramClassifier`` carries it)."""
+    explode = F.explode_outer if keep_empty_docs else F.explode
+    if hash_fn == "xxhash64":
+        whh = df.select(
+            F.col(id_col),
+            *extra_cols,
+            F.transform(words(text_col), lambda w: F.xxhash64(w)).alias("__whh"),
+        )
+        arr = F.concat(
+            *[_gram_hashes(F.col("__whh"), k) for k in range(1, ngram_max + 1)]
+        )
+        ex = whh.select(F.col(id_col), *extra_cols, explode(arr).alias("__gh"))
+        bucket = F.pmod(F.col("__gh"), F.lit(num_buckets)).cast("int")
+    elif hash_fn == "md5":
+        arr = F.concat(
+            *[gram_strings(text_col, k) for k in range(1, ngram_max + 1)]
+        )
+        ex = df.select(F.col(id_col), *extra_cols, explode(arr).alias("__gs"))
+        bucket = F.pmod(
+            F.conv(F.substring(F.md5("__gs"), 1, 8), 16, 10).cast("long"),
+            F.lit(num_buckets),
+        ).cast("int")
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
+    return ex.select(F.col(id_col), *extra_cols, bucket.alias("__b"))
+
+
+@dataclass
+class GramClassifier:
+    """A trained hashed-ngram linear model: broadcast weight table +
+    scalars. ``weights`` has ≤ ``num_buckets`` rows (bucket, weight) —
+    at the standard 2^18 buckets that is a ≤ 3 MB broadcast, the whole
+    point of the hashing trick (vocabulary-size-independent state)."""
+
+    weights: DataFrame
+    bias: float
+    default_weight: float
+    num_buckets: int
+    ngram_max: int
+    hash_fn: str
+
+
+def train_gram_classifier(
+    df: DataFrame,
+    label_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    num_buckets: int = 1 << 18,
+    ngram_max: int = 2,
+    alpha: float = 0.5,
+    hash_fn: str = "xxhash64",
+) -> GramClassifier:
+    """fastText-style linear quality classifier over hashed bag-of-ngram
+    buckets (the learned filter of the CCNet / DCLM curation lineage —
+    public technique), trained CLOSED-FORM as smoothed naive-Bayes
+    log-odds: ``w[b] = ln((cnt⁺_b + α)/(N⁺ + αB)) − ln((cnt⁻_b + α)/(N⁻
+    + αB))``, ``bias = ln(docs⁺/docs⁻)``. No gradient loop — one explode
+    → map-side-combined groupBy(bucket) over the corpus (the ONLY
+    full-corpus pass; the persisted ≤B-row count table feeds the totals
+    scalar and the weight projection), one pruned scan for the doc-count
+    prior. ``label_col`` must be boolean (true = positive/high-quality);
+    NULL-labeled rows are ignored.
+
+    100 TB shape: training state is bounded by ``num_buckets`` regardless
+    of corpus vocabulary; scoring (``score_gram_classifier``) is explode
+    → broadcast join → map-side-combined groupBy — identical wire shape
+    to ``unigram_doc_scores``, no shuffle of text, nothing all-pairs."""
+    from ..utils.cache import registry as _cache
+
+    lab = df.filter(F.col(label_col).isNotNull())
+    g = _gram_bucket_rows(
+        lab,
+        id_col,
+        text_col,
+        num_buckets=num_buckets,
+        ngram_max=ngram_max,
+        hash_fn=hash_fn,
+        extra_cols=(label_col,),
+    )
+    cnt = _cache.persist(
+        g.groupBy("__b").agg(
+            F.sum(F.col(label_col).cast("long")).alias("__cp"),
+            F.sum((~F.col(label_col)).cast("long")).alias("__cn"),
+        ),
+        "gram_classifier.counts",
+    )
+    tot = cnt.agg(F.sum("__cp").alias("np"), F.sum("__cn").alias("nn")).collect()[0]
+    n_pos, n_neg = (tot["np"] or 0), (tot["nn"] or 0)
+    docs = lab.agg(
+        F.sum(F.col(label_col).cast("long")).alias("dp"),
+        F.sum((~F.col(label_col)).cast("long")).alias("dn"),
+    ).collect()[0]
+    d_pos, d_neg = (docs["dp"] or 0), (docs["dn"] or 0)
+    if d_pos == 0 or d_neg == 0:
+        raise ValueError(
+            f"training needs both classes; got {d_pos} positive / "
+            f"{d_neg} negative labeled docs"
+        )
+    denom_p = float(n_pos) + alpha * num_buckets
+    denom_n = float(n_neg) + alpha * num_buckets
+    weights = cnt.select(
+        F.col("__b").alias("bucket"),
+        (
+            F.log((F.col("__cp") + F.lit(alpha)) / F.lit(denom_p))
+            - F.log((F.col("__cn") + F.lit(alpha)) / F.lit(denom_n))
+        ).alias("weight"),
+    )
+    return GramClassifier(
+        weights=weights,
+        bias=math.log(d_pos / d_neg),
+        default_weight=math.log(alpha / denom_p) - math.log(alpha / denom_n),
+        num_buckets=num_buckets,
+        ngram_max=ngram_max,
+        hash_fn=hash_fn,
+    )
+
+
+def score_gram_classifier(
+    df: DataFrame,
+    model: GramClassifier,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    keep_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Score docs under a ``GramClassifier``: per doc, ``logit = bias +
+    mean(w[bucket])`` over its gram multiset (fastText average pooling —
+    mean, not sum, so long docs don't saturate), ``prob = σ(logit)``.
+    Buckets unseen in training coalesce to the model's smoothed
+    zero-count weight. One explode → ONE broadcast hash join (≤ B-row
+    weight table) → map-side-combined groupBy(doc); text never shuffles.
+    Wordless docs keep a row: n_grams = 0, NULL logit/prob (the
+    ``unigram_doc_scores`` contract). Returns (id, *keep_cols, n_grams,
+    logit, prob)."""
+    g = _gram_bucket_rows(
+        df,
+        id_col,
+        text_col,
+        num_buckets=model.num_buckets,
+        ngram_max=model.ngram_max,
+        hash_fn=model.hash_fn,
+        extra_cols=keep_cols,
+        keep_empty_docs=True,
+    )
+    scored = (
+        g.join(
+            F.broadcast(model.weights.withColumnRenamed("bucket", "__b")),
+            "__b",
+            "left",
+        )
+        .groupBy(id_col)
+        .agg(
+            *[F.first(c).alias(c) for c in keep_cols],
+            F.count("__b").alias("n_grams"),
+            F.avg(
+                F.when(
+                    F.col("__b").isNotNull(),
+                    F.coalesce(F.col("weight"), F.lit(model.default_weight)),
+                )
+            ).alias("__mw"),
+        )
+    )
+    logit = F.col("__mw") + F.lit(model.bias)
+    return scored.select(
+        F.col(id_col),
+        *keep_cols,
+        "n_grams",
+        logit.alias("logit"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))).alias("prob"),
     )
 
 

@@ -1775,6 +1775,104 @@ FROM doc GROUP BY source ORDER BY source
 """
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned hashed-ngram quality filter (fastText/CCNet/DCLM-style
+    linear gate) under the driver gate: a ``GramClassifier`` is TRAINED
+    closed-form (smoothed NB log-odds over md5-hashed 1-2-gram buckets,
+    B=4096, α=0.5) on the deterministic two-thirds split ``doc_id % 3 >
+    0`` labeled ``lang = 'en'``, then every doc is scored (mean-pooled
+    bucket weights + bias → sigmoid) and aggregated per source. Oracle:
+    DuckDB replays the ENTIRE pipeline — gram building (short-doc whole-
+    doc rule included), md5 bucketing via the hex-int trick, the exact
+    smoothing arithmetic, OOV default weight, mean pooling, bias, and
+    sigmoid — not an idealized answer."""
+    from .operators.text import score_gram_classifier, train_gram_classifier
+
+    d = _t(spark, sf_dir, "documents")
+    train = d.select(
+        "doc_id", "text", (F.col("lang") == "en").alias("is_en")
+    ).where(F.pmod(F.col("doc_id"), F.lit(3)) > 0)
+    model = train_gram_classifier(
+        train,
+        "is_en",
+        text_col="text",
+        num_buckets=4096,
+        ngram_max=2,
+        alpha=0.5,
+        hash_fn="md5",
+    )
+    scored = score_gram_classifier(d, model, keep_cols=("source",))
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("prob") >= 0.5).cast("long")).alias("n_kept"),
+            F.round(F.avg("logit"), 4).alias("avg_logit"),
+            F.round(F.avg("prob"), 4).alias("avg_prob"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_QUALITY_CLASSIFIER = r"""
+WITH w AS (
+  SELECT doc_id, source, lang,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+g1 AS (SELECT doc_id, unnest(ws) AS g FROM w WHERE len(ws) > 0),
+g2 AS (SELECT doc_id, array_to_string(list_slice(ws, i, i + 1), ' ') AS g
+       FROM w, unnest(generate_series(1, greatest(len(ws) - 1, 1))) AS t(i)
+       WHERE len(ws) > 0),
+grams AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(g), 1, 8))::BIGINT % 4096 AS b
+  FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2)
+),
+train AS (SELECT doc_id, lang = 'en' AS is_en FROM w WHERE doc_id % 3 > 0),
+cnt AS (
+  SELECT b,
+         sum(CASE WHEN t.is_en THEN 1 ELSE 0 END) AS cp,
+         sum(CASE WHEN t.is_en THEN 0 ELSE 1 END) AS cn
+  FROM grams g JOIN train t ON g.doc_id = t.doc_id
+  GROUP BY b
+),
+tot AS (
+  SELECT sum(cp) + 0.5 * 4096 AS denom_p, sum(cn) + 0.5 * 4096 AS denom_n
+  FROM cnt
+),
+prior AS (
+  SELECT ln(sum(CASE WHEN is_en THEN 1 ELSE 0 END) * 1.0
+            / sum(CASE WHEN is_en THEN 0 ELSE 1 END)) AS bias
+  FROM train
+),
+wt AS (
+  SELECT b, ln((cp + 0.5) / denom_p) - ln((cn + 0.5) / denom_n) AS wgt
+  FROM cnt, tot
+),
+doc AS (
+  SELECT g.doc_id,
+         avg(coalesce(wt.wgt,
+                      ln(0.5 / (SELECT denom_p FROM tot))
+                      - ln(0.5 / (SELECT denom_n FROM tot)))) AS mw
+  FROM grams g LEFT JOIN wt ON g.b = wt.b
+  GROUP BY g.doc_id
+),
+scored AS (
+  SELECT w.doc_id, w.source,
+         doc.mw + (SELECT bias FROM prior) AS logit,
+         1.0 / (1.0 + exp(-(doc.mw + (SELECT bias FROM prior)))) AS prob
+  FROM w LEFT JOIN doc ON w.doc_id = doc.doc_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN prob >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(avg(logit), 4) AS avg_logit,
+       round(avg(prob), 4) AS avg_prob
+FROM scored GROUP BY source ORDER BY source
+"""
+
+
 def q_components_deep_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deep-topology components under the driver gate: consecutive
     doc_ids WITHIN each source form one path graph per source — component
@@ -2329,6 +2427,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_quality_by_source": (q_text_quality_by_source, _SQL_TEXT_QUALITY_BY_SOURCE),
     "langid_documents": (q_langid_documents, _langid_oracle_sql()),
     "unigram_lm_quality": (q_unigram_lm_quality, _SQL_UNIGRAM_LM_QUALITY),
+    "quality_classifier": (q_quality_classifier, _SQL_QUALITY_CLASSIFIER),
     "gopher_quality": (q_gopher_quality, _SQL_GOPHER_QUALITY),
     "url_hygiene": (q_url_hygiene, _SQL_URL_HYGIENE),
     "repetition_by_source": (q_repetition_by_source, _SQL_REPETITION_BY_SOURCE),

@@ -100,3 +100,49 @@ def test_curate_lm_reference_corpus(spark, corpus):
     assert len(kept & gibberish) < len(gibberish)
     assert 0 < len(kept) < 120
     registry.release_all()
+
+
+def test_curate_quality_classifier_stage(spark):
+    """The learned-filter knob: docs scored below classifier_min_prob by a
+    trained GramClassifier are dropped; wordless docs drop by policy
+    (NULL prob fails the >= filter); None disables the stage."""
+    from pandera_unified_validator_spark.operators.text import (
+        train_gram_classifier,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (100 + i, "src", " ".join(["fine prose words here"] * 5), True)
+            for i in range(8)
+        ]
+        + [
+            (200 + i, "src", " ".join(["spam casino pills click"] * 5), False)
+            for i in range(8)
+        ],
+        "doc_id long, source string, text string, label boolean",
+    )
+    model = train_gram_classifier(train, "label")
+    corpus = spark.createDataFrame(
+        [
+            (1, "src", "fine prose words here and more fine prose"),
+            (2, "src", "spam casino pills click spam casino"),
+            (3, "src", ""),  # wordless -> NULL prob -> dropped by policy
+        ],
+        "doc_id long, source string, text string",
+    )
+    base = CurationConfig(
+        min_line_chars=None, gopher=False, near_dup_threshold=None,
+        lm_drop_pct=None, sample_fractions=None,
+    )
+    off = curate_corpus(corpus, config=base)
+    assert {r["doc_id"] for r in off.collect()} == {1, 2, 3}
+
+    import dataclasses
+
+    on = curate_corpus(
+        corpus,
+        config=dataclasses.replace(
+            base, quality_classifier=model, classifier_min_prob=0.5
+        ),
+    )
+    assert {r["doc_id"] for r in on.collect()} == {1}

@@ -308,3 +308,119 @@ def test_url_extraction_and_blocklist(spark):
     assert rows[2]["blocked"] is True          # subdomain of a blocked parent
     assert rows[3] and rows[3]["n_urls"] == 0 and rows[3]["blocked"] is False
     assert rows[4]["n_urls"] is None and rows[4]["blocked"] is False
+
+
+def _py_gram_classifier(rows, num_buckets, ngram_max=2, alpha=0.5):
+    """Pure-Python closed-form oracle for the md5-mode hashed-ngram
+    classifier: replicates gram building (short-doc rule included),
+    md5 bucketing, NB-log-odds training, and mean-pooled scoring."""
+    import hashlib
+    import math as m
+
+    def grams(text):
+        ws = (text or "").lower().strip().split()
+        out = []
+        if not ws:
+            return out
+        for k in range(1, ngram_max + 1):
+            for i in range(max(len(ws) - (k - 1), 1)):
+                out.append(" ".join(ws[i : i + k]))
+        return out
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % num_buckets
+
+    cp, cn = {}, {}
+    d_pos = d_neg = 0
+    for _, text, label in rows:
+        if label is None:
+            continue
+        d_pos += label
+        d_neg += not label
+        for g in grams(text):
+            b = bucket(g)
+            (cp if label else cn)[b] = (cp if label else cn).get(b, 0) + 1
+    n_pos, n_neg = sum(cp.values()), sum(cn.values())
+    denom_p = n_pos + alpha * num_buckets
+    denom_n = n_neg + alpha * num_buckets
+    def w(b):
+        return m.log((cp.get(b, 0) + alpha) / denom_p) - m.log(
+            (cn.get(b, 0) + alpha) / denom_n
+        )
+    bias = m.log(d_pos / d_neg)
+    scores = {}
+    for doc_id, text, _ in rows:
+        gs = grams(text)
+        if not gs:
+            scores[doc_id] = (0, None, None)
+            continue
+        logit = bias + sum(w(bucket(g)) for g in gs) / len(gs)
+        scores[doc_id] = (len(gs), logit, 1.0 / (1.0 + m.exp(-logit)))
+    return scores
+
+
+def test_gram_classifier_md5_matches_python_oracle(spark):
+    from pandera_unified_validator_spark.operators.text import (
+        score_gram_classifier,
+        train_gram_classifier,
+    )
+
+    rows = [
+        ("a", "the quick brown fox the quick", True),
+        ("b", "lazy dog sleeps by the river", True),
+        ("c", "buy cheap pills now buy now", False),
+        ("d", "click here free casino money", False),
+        ("e", "the quick dog clicks here", True),
+        ("f", "", True),          # wordless: n_grams=0, NULL logit/prob
+        ("g", "one", False),      # 1 word: unigram + whole-doc "bigram"
+        ("h", "unlabeled words never train", None),  # ignored in training
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string, label boolean")
+    model = train_gram_classifier(
+        df, "label", num_buckets=257, hash_fn="md5", alpha=0.5
+    )
+    expected = _py_gram_classifier(rows, 257)
+    got = {
+        r["doc_id"]: r
+        for r in score_gram_classifier(df, model, keep_cols=("label",)).collect()
+    }
+    assert set(got) == {r[0] for r in rows}
+    for doc_id, (n_grams, logit, prob) in expected.items():
+        r = got[doc_id]
+        assert r["n_grams"] == n_grams, doc_id
+        if logit is None:
+            assert r["logit"] is None and r["prob"] is None
+        else:
+            assert abs(r["logit"] - logit) < 1e-9, doc_id
+            assert abs(r["prob"] - prob) < 1e-9, doc_id
+
+
+def test_gram_classifier_separates_and_validates(spark):
+    import random
+
+    from pandera_unified_validator_spark.operators.text import (
+        score_gram_classifier,
+        train_gram_classifier,
+    )
+
+    rng = random.Random(11)
+    good = "the quick brown fox jumps over a lazy dog near the river".split()
+    bad = "buy cheap pills now click here free casino win money".split()
+    rows = [
+        (str(i), " ".join(rng.choice(good if i % 2 else bad) for _ in range(15)),
+         bool(i % 2))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string, label boolean")
+    model = train_gram_classifier(df, "label", num_buckets=1 << 12)
+    assert model.hash_fn == "xxhash64"  # default = the hot path
+    scored = score_gram_classifier(df, model, keep_cols=("label",))
+    agg = {
+        r["label"]: r["p"]
+        for r in scored.groupBy("label").agg(F.avg("prob").alias("p")).collect()
+    }
+    assert agg[True] > 0.9 and agg[False] < 0.1
+
+    # single-class training must raise, not emit a degenerate model
+    with pytest.raises(ValueError, match="both classes"):
+        train_gram_classifier(df.filter("label"), "label")
