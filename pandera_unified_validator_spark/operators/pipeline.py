@@ -98,6 +98,18 @@ def curate_corpus(
         step = step.filter(gopher_quality_flags(text_col)["passes"])
     if cfg.blocked_domains:
         step = step.filter(~url_flags(text_col, list(cfg.blocked_domains))["blocked"])
+    if cfg.near_dup_threshold is not None or cfg.quality_classifier is not None:
+        from ..utils.cache import registry as _cache
+
+        # Both remaining gates SELF-JOIN ``step`` against a side derived
+        # from it (minhash verify re-reads text; the classifier joins its
+        # per-doc scores back), so without a persist here the whole
+        # upstream lineage — the line-dedup reassembly above all —
+        # re-executes once per consuming branch (the round-6 composed-plan
+        # audit counted 5 raw-text scans). One MEMORY_AND_DISK
+        # materialization of the filtered corpus replaces them; the
+        # registry scope releases it with the rest.
+        step = _cache.persist(step, "curate_corpus.post_filters")
     if cfg.near_dup_threshold is not None:
         pairs = minhash_dedup_pairs(
             step, id_col, text_col, jaccard_threshold=cfg.near_dup_threshold
