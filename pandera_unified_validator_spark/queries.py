@@ -2369,6 +2369,319 @@ ORDER BY id_a, id_b
 """
 
 
+# --------------------------------------------------------------------------
+# Token-sequence operators (operators/token_ops.py): structural flags,
+# duplicated n-gram coverage, next-fit packing, token-budget mixture.
+def q_token_seq_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural validation of pre-tokenized sequences under the driver
+    gate: deterministic token arrays (clamped word lengths framed by
+    BOS=61/EOS=62, vocab 64) with injected violations by ``doc_id mod
+    23`` — missing BOS, interior EOS, an OOV id, a wrong ``n_tok``, and
+    an absurd ``n_tok`` for the too-long flag. Oracle: DuckDB rebuilds
+    the identical arrays with list functions and replays every flag
+    (``list_min``/``list_max`` for the vocab range mirrors the codegen
+    ``array_min``/``array_max`` fast path)."""
+    from .operators.text import words
+    from .operators.token_ops import token_sequence_flags
+
+    d = _t(spark, sf_dir, "documents")
+    m = F.pmod(F.col("doc_id"), F.lit(23))
+    wl = F.transform(words("text"), lambda x: F.least(F.length(x), F.lit(40)))
+    framed = F.concat(F.array(F.lit(61)), wl, F.array(F.lit(62)))
+    toks = (
+        F.when(m == 0, F.concat(wl, F.array(F.lit(62))))
+        .when(m == 1, F.concat(F.array(F.lit(61), F.lit(62)), wl, F.array(F.lit(62))))
+        .when(m == 2, F.concat(F.array(F.lit(61)), wl, F.array(F.lit(99), F.lit(62))))
+        .otherwise(framed)
+        .cast("array<int>")
+    )
+    n_tok = (
+        F.when(m == 3, F.size(toks) + 1)
+        .when(m == 4, F.lit(9999))
+        .otherwise(F.size(toks))
+        .cast("int")
+    )
+    df = d.select("doc_id", "source", toks.alias("tokens"), n_tok.alias("n_tok"))
+    flagged = token_sequence_flags(
+        df, vocab_size=64, bos_id=61, eos_id=62, max_len=600
+    )
+    agg = [F.count(F.lit(1)).alias("n_docs")] + [
+        F.sum(F.col(c).cast("int")).alias(f"n_{c}")
+        for c in (
+            "len_mismatch",
+            "oov_any",
+            "bos_bad",
+            "eos_bad",
+            "interior_eos",
+            "too_long",
+            "seq_ok",
+        )
+    ]
+    return flagged.groupBy("source").agg(*agg).orderBy("source")
+
+
+_SQL_TOKEN_SEQ_FLAGS = r"""
+WITH w AS (
+  SELECT doc_id, source,
+         list_transform(
+           list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''),
+           x -> least(length(x), 40)) AS wl
+  FROM documents
+),
+t AS (
+  SELECT doc_id, source,
+         CASE doc_id % 23
+           WHEN 0 THEN list_concat(wl, [62])
+           WHEN 1 THEN list_concat([61, 62], list_concat(wl, [62]))
+           WHEN 2 THEN list_concat([61], list_concat(wl, [99, 62]))
+           ELSE list_concat([61], list_concat(wl, [62]))
+         END AS tk
+  FROM w
+),
+t2 AS (
+  SELECT doc_id, source, tk,
+         CASE doc_id % 23
+           WHEN 3 THEN len(tk) + 1
+           WHEN 4 THEN 9999
+           ELSE len(tk)
+         END AS n_tok
+  FROM t
+),
+f AS (
+  SELECT source,
+         (len(tk) <> n_tok)                                  AS len_mismatch,
+         (list_min(tk) < 0 OR list_max(tk) >= 64)            AS oov_any,
+         (tk[1] IS DISTINCT FROM 61)                         AS bos_bad,
+         (tk[-1] IS DISTINCT FROM 62)                        AS eos_bad,
+         coalesce(list_contains(list_slice(tk, 1, len(tk) - 1), 62), FALSE)
+                                                             AS interior_eos,
+         (n_tok > 600)                                       AS too_long
+  FROM t2
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN len_mismatch THEN 1 ELSE 0 END) AS BIGINT) AS n_len_mismatch,
+       CAST(sum(CASE WHEN oov_any THEN 1 ELSE 0 END) AS BIGINT) AS n_oov_any,
+       CAST(sum(CASE WHEN bos_bad THEN 1 ELSE 0 END) AS BIGINT) AS n_bos_bad,
+       CAST(sum(CASE WHEN eos_bad THEN 1 ELSE 0 END) AS BIGINT) AS n_eos_bad,
+       CAST(sum(CASE WHEN interior_eos THEN 1 ELSE 0 END) AS BIGINT) AS n_interior_eos,
+       CAST(sum(CASE WHEN too_long THEN 1 ELSE 0 END) AS BIGINT) AS n_too_long,
+       CAST(sum(CASE WHEN NOT (len_mismatch OR oov_any OR bos_bad OR eos_bad
+                               OR interior_eos OR too_long) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_seq_ok
+FROM f GROUP BY source ORDER BY source
+"""
+
+
+def q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level duplicated-span coverage (Lee et al. 2022) under the
+    driver gate: word-length token arrays with a 12-token boilerplate
+    run appended to every 3rd doc, coverage of 8-grams occurring in ≥2
+    docs. Oracle: DuckDB compares raw n-gram tuples (identity ≡ the
+    engine's hash-combined grams up to 2⁻⁶⁴) and replays the SAME
+    running-max interval-merge window, so merged coverage counts match
+    exactly — a double-counting bug on overlapping grams would be
+    caught, not averaged away."""
+    from .operators.text import words
+    from .operators.token_ops import duplicated_ngram_coverage
+
+    d = _t(spark, sf_dir, "documents")
+    wl = F.transform(words("text"), F.length)
+    boiler = F.array(*[F.lit(i) for i in (3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8)])
+    toks = (
+        F.when(F.pmod(F.col("doc_id"), F.lit(3)) == 0, F.concat(wl, boiler))
+        .otherwise(wl)
+        .cast("array<int>")
+    )
+    cov = duplicated_ngram_coverage(
+        d.select("doc_id", toks.alias("tokens")), "doc_id", "tokens", n=8, min_docs=2
+    )
+    return (
+        cov.filter(F.col("dup_tokens") > 0)
+        .select(
+            "doc_id",
+            F.col("tok_len").cast("long").alias("tok_len"),
+            "dup_tokens",
+            F.round("dup_frac", 4).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SQL_DUP_NGRAM_COVERAGE = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_transform(
+           list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''),
+           x -> length(x)) AS wl
+  FROM documents
+),
+t AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN list_concat(wl, [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8])
+              ELSE wl END AS tk
+  FROM w
+),
+g AS (
+  SELECT doc_id, len(tk) AS L, i - 1 AS pos,
+         array_to_string(list_slice(tk, i, i + 7), ',') AS gr
+  FROM t, unnest(generate_series(1, greatest(len(tk) - 7, 1))) AS u(i)
+  WHERE len(tk) > 0
+),
+d2 AS (
+  SELECT gr FROM (SELECT gr, count(DISTINCT doc_id) AS nd FROM g GROUP BY gr)
+  WHERE nd >= 2
+),
+h AS (
+  SELECT g.doc_id, g.L, g.pos, least(g.pos + 8, g.L) AS e
+  FROM g JOIN d2 USING (gr)
+),
+c AS (
+  SELECT doc_id, L, pos, e,
+         max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+  FROM h
+)
+SELECT doc_id,
+       CAST(any_value(L) AS BIGINT) AS tok_len,
+       CAST(sum(greatest(e - greatest(pos, coalesce(pe, pos)), 0)) AS BIGINT)
+         AS dup_tokens,
+       round(CAST(sum(greatest(e - greatest(pos, coalesce(pe, pos)), 0)) AS DOUBLE)
+             / any_value(L), 4) AS dup_frac
+FROM c GROUP BY doc_id
+HAVING sum(greatest(e - greatest(pos, coalesce(pe, pos)), 0)) > 0
+ORDER BY doc_id
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-fit sequence packing under the driver gate: deterministic
+    lengths (``n_chars mod 509 + 1``), 8 md5-content-hash shards,
+    capacity 1024, in-shard order by ``doc_id``. Oracle: DuckDB replays
+    the greedy fold with a recursive CTE over BINS (not rows — each
+    iteration closes one whole bin via a correlated max over the
+    cumulative sums), the engine-portable fixpoint trick from the CC
+    oracles, so every (shard, bin, offset) assignment must match the
+    Arrow stage bit-for-bit."""
+    from .operators.token_ops import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    df = d.select(
+        "doc_id", (F.pmod(F.col("n_chars"), F.lit(509)) + 1).cast("int").alias("n_tok")
+    )
+    packed = pack_sequences(df, capacity=1024, shards=8)
+    return packed.select("doc_id", "n_tok", "shard", "bin", "offset").orderBy(
+        "doc_id"
+    )
+
+
+_SQL_PACK_SEQUENCES = r"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, n_chars % 509 + 1 AS n_tok,
+         CAST(('0x' || substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              % 8 AS INT) AS shard
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_tok, shard,
+         CAST(row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS rn,
+         CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS cum
+  FROM t
+),
+m AS (SELECT shard, max(rn) AS mr FROM s GROUP BY shard),
+b AS (
+  SELECT shard, CAST(0 AS BIGINT) AS bin, CAST(0 AS BIGINT) AS base,
+         CAST(1 AS BIGINT) AS start_rn
+  FROM m
+  UNION ALL
+  SELECT b.shard, b.bin + 1,
+         (SELECT s2.cum FROM s s2 WHERE s2.shard = b.shard AND s2.rn =
+            greatest(coalesce((SELECT max(s3.rn) FROM s s3
+                               WHERE s3.shard = b.shard
+                                 AND s3.cum - b.base <= 1024), b.start_rn),
+                     b.start_rn)),
+         greatest(coalesce((SELECT max(s3.rn) FROM s s3
+                            WHERE s3.shard = b.shard
+                              AND s3.cum - b.base <= 1024), b.start_rn),
+                  b.start_rn) + 1
+  FROM b JOIN m USING (shard)
+  WHERE greatest(coalesce((SELECT max(s3.rn) FROM s s3
+                           WHERE s3.shard = b.shard
+                             AND s3.cum - b.base <= 1024), b.start_rn),
+                 b.start_rn) < m.mr
+),
+a AS (
+  SELECT s.doc_id, CAST(s.n_tok AS BIGINT) AS n_tok, s.shard, b.bin,
+         s.cum - s.n_tok - b.base AS "offset",
+         row_number() OVER (PARTITION BY s.shard, s.rn ORDER BY b.start_rn DESC)
+           AS pick
+  FROM s JOIN b ON b.shard = s.shard AND b.start_rn <= s.rn
+)
+SELECT doc_id, n_tok, shard, bin, "offset"
+FROM a WHERE pick = 1 ORDER BY doc_id
+"""
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture sampling under the driver gate: budget
+    10,000 tokens (``n_tok`` := ``n_chars``) with target shares src0
+    0.4 / src1 0.3 / src2 0.3, plus src3 at share 3.0 to exercise the
+    rate-1.0 cap. Oracle: DuckDB computes the SAME per-source totals,
+    IEEE-double rates, and ``floor(rate * 2^32)`` md5 thresholds
+    entirely in SQL — both engines evaluate the identical double
+    expression, so the selected set matches row-for-row (the
+    engine-replayable-sampling contract of operators/sampling.py)."""
+    from .operators.token_ops import token_budget_sample
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").alias("n_tok")
+    )
+    kept = token_budget_sample(
+        d,
+        budget_tokens=10_000.0,
+        shares={"src0": 0.4, "src1": 0.3, "src2": 0.3, "src3": 3.0},
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_tok").alias("tokens_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_MIXTURE_SAMPLE = r"""
+WITH t AS (
+  SELECT doc_id, source, n_chars AS n_tok FROM documents
+),
+tot AS (
+  SELECT source, CAST(sum(n_tok) AS BIGINT) AS toks FROM t GROUP BY source
+),
+r AS (
+  SELECT source,
+         least(1.0, 10000.0 * CASE source
+                 WHEN 'src0' THEN 0.4
+                 WHEN 'src1' THEN 0.3
+                 WHEN 'src2' THEN 0.3
+                 WHEN 'src3' THEN 3.0
+                 ELSE 0.0 END / toks) AS rate
+  FROM tot
+),
+thr AS (
+  SELECT source, CAST(floor(rate * 4294967296.0) AS BIGINT) AS thr FROM r
+)
+SELECT t.source,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(t.n_tok) AS BIGINT) AS tokens_kept
+FROM t JOIN thr ON t.source = thr.source
+WHERE ('0x' || substr(md5('42|' || CAST(t.doc_id AS VARCHAR)), 1, 8))::BIGINT
+      < thr.thr
+GROUP BY t.source ORDER BY t.source
+"""
+
+
 # Ordering contract (round 6): the driver's CORRECTNESS file records the
 # FIRST 50 entries of this dict (insertion order). Every SURVEY §2-mapped
 # oracle MUST therefore sit in the first 50; redundant-coverage extras
@@ -2451,6 +2764,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "topk_per_group": (q_topk_per_group, _SQL_TOPK_PER_GROUP),
     "chi_square_documents": (q_chi_square_documents, _SQL_CHI_SQUARE_DOCUMENTS),
     "ks_documents_nchars": (q_ks_documents_nchars, _SQL_KS_DOCUMENTS_NCHARS),
+    # --- token-sequence operators (round 6; operators/token_ops.py) ---
+    "token_seq_flags": (q_token_seq_flags, _SQL_TOKEN_SEQ_FLAGS),
+    "dup_ngram_coverage": (q_dup_ngram_coverage, _SQL_DUP_NGRAM_COVERAGE),
+    "pack_sequences": (q_pack_sequences, _SQL_PACK_SEQUENCES),
+    "mixture_sample": (q_mixture_sample, _SQL_MIXTURE_SAMPLE),
 }
 
 

@@ -1,0 +1,285 @@
+"""Token-sequence operator tests (structural flags, dup-ngram coverage,
+next-fit packing, token-budget mixture sampling)."""
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from pandera_unified_validator_spark.operators.token_ops import (
+    duplicated_ngram_coverage,
+    mixture_rates,
+    pack_sequences,
+    token_budget_sample,
+    token_sequence_flags,
+)
+
+
+# ------------------------------------------------------------- flags ---
+
+
+def test_token_sequence_flags(spark):
+    rows = [
+        # (doc, tokens, n_tok) — bos=1, eos=2, vocab=100, max_len=6
+        ("ok", [1, 5, 7, 2], 4),
+        ("len", [1, 5, 2], 4),
+        ("oov", [1, 150, 2], 3),
+        ("neg", [1, -3, 2], 3),
+        ("bos", [9, 5, 2], 3),
+        ("eos", [1, 5, 9], 3),
+        ("interior", [1, 2, 5, 2], 4),
+        ("long", [1, 5, 5, 5, 5, 5, 2], 7),
+        ("null", None, 3),
+        ("empty", [], 0),
+    ]
+    df = spark.createDataFrame(rows, "doc string, tokens array<int>, n_tok int")
+    out = token_sequence_flags(
+        df,
+        vocab_size=100,
+        bos_id=1,
+        eos_id=2,
+        max_len=6,
+        with_oov_count=True,
+    )
+    got = {r["doc"]: r.asDict() for r in out.collect()}
+
+    assert got["ok"]["seq_ok"] and got["ok"]["tok_len"] == 4
+    assert got["len"]["len_mismatch"] and not got["len"]["oov_any"]
+    assert got["oov"]["oov_any"] and got["oov"]["oov_count"] == 1
+    assert got["neg"]["oov_any"] and got["neg"]["oov_count"] == 1
+    assert got["bos"]["bos_bad"] and not got["bos"]["eos_bad"]
+    assert got["eos"]["eos_bad"] and not got["eos"]["bos_bad"]
+    assert got["interior"]["interior_eos"] and got["interior"]["seq_ok"] is False
+    assert got["long"]["too_long"]
+    # NULL array: flagged null, structural checks fire, nothing is NULL
+    assert got["null"]["tokens_null"] and got["null"]["tok_len"] == 0
+    flag_cols = [c for c in got["null"] if c not in ("doc", "tokens", "n_tok")]
+    assert all(got["null"][c] is not None for c in flag_cols)
+    assert not got["null"]["seq_ok"]
+    # empty array: len 0, mismatch vs n_tok=0 is False, bos/eos fail
+    assert got["empty"]["tok_len"] == 0 and not got["empty"]["len_mismatch"]
+    assert got["empty"]["bos_bad"] and got["empty"]["eos_bad"]
+    assert not got["empty"]["oov_any"] and got["empty"]["oov_count"] == 0
+
+
+# ------------------------------------------------- dup-ngram coverage ---
+
+
+def _coverage_oracle(docs, n, min_docs):
+    """Pure-python replay: gram -> docs, merge covered intervals."""
+    from collections import defaultdict
+
+    def grams(toks):
+        if not toks:
+            return []
+        if len(toks) < n:
+            return [(0, tuple(toks))]
+        return [(i, tuple(toks[i : i + n])) for i in range(len(toks) - n + 1)]
+
+    by_gram = defaultdict(set)
+    for d, toks in docs.items():
+        for _, g in grams(toks):
+            by_gram[g].add(d)
+    dup = {g for g, ds in by_gram.items() if len(ds) >= min_docs}
+    out = {}
+    for d, toks in docs.items():
+        ivs = [
+            (p, min(p + n, len(toks))) for p, g in grams(toks) if g in dup
+        ]
+        covered, end = 0, -1
+        for s, e in sorted(ivs):
+            covered += max(0, e - max(s, end))
+            end = max(end, e)
+        out[d] = covered
+    return out
+
+
+def test_duplicated_ngram_coverage(spark):
+    docs = {
+        "a": [1, 2, 3, 4, 5, 6, 7, 8],        # shares the 4-gram run with b
+        "b": [9, 9, 1, 2, 3, 4, 9, 9],
+        "c": [7, 7, 7, 7, 7, 7],               # internal repeat, no partner
+        "d": [7, 7, 7, 7, 7, 7],               # exact dup of c
+        "e": [5, 6],                           # short doc, unique
+        "f": [5, 6],                           # short doc, dup of e (whole-doc gram)
+        "g": [],
+    }
+    oracle = _coverage_oracle(docs, n=4, min_docs=2)
+    df = spark.createDataFrame(
+        [(k, v) for k, v in docs.items()], "doc_id string, tokens array<int>"
+    )
+    out = duplicated_ngram_coverage(df, "doc_id", "tokens", n=4, min_docs=2)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert set(got) == set(docs)                       # every doc present
+    for d in docs:
+        assert got[d]["dup_tokens"] == oracle[d], d
+        assert got[d]["tok_len"] == len(docs[d])
+    assert got["g"]["dup_frac"] == 0.0                 # empty: no div-by-zero
+    assert got["f"]["dup_tokens"] == 2                 # whole-doc gram covers all
+    # overlap merging: a/b share [1..4] run -> grams overlap, not double counted
+    assert got["a"]["dup_tokens"] == oracle["a"] <= len(docs["a"])
+
+
+def test_duplicated_ngram_coverage_n_tok_col(spark):
+    docs = {"a": [1, 2, 3, 4, 5], "b": [1, 2, 3, 4, 5], "c": [9, 8]}
+    df = spark.createDataFrame(
+        [(k, v, len(v)) for k, v in docs.items()],
+        "doc_id string, tokens array<int>, n_tok int",
+    )
+    fast = duplicated_ngram_coverage(
+        df, "doc_id", "tokens", n=3, min_docs=2, n_tok_col="n_tok"
+    )
+    slow = duplicated_ngram_coverage(df, "doc_id", "tokens", n=3, min_docs=2)
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, slow.collect()))
+    # the trusted-length base plan never touches the token arrays
+    base_plan = fast._jdf.queryExecution().optimizedPlan().treeString()
+    assert "posexplode" in base_plan  # gram side still explodes
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(0, 5), min_size=0, max_size=12),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_duplicated_ngram_coverage_property(spark, token_lists):
+    docs = {f"d{i}": t for i, t in enumerate(token_lists)}
+    oracle = _coverage_oracle(docs, n=3, min_docs=2)
+    df = spark.createDataFrame(
+        [(k, v) for k, v in docs.items()], "doc_id string, tokens array<int>"
+    )
+    out = duplicated_ngram_coverage(df, "doc_id", "tokens", n=3, min_docs=2)
+    got = {r["doc_id"]: r["dup_tokens"] for r in out.collect()}
+    assert got == oracle
+
+
+# ------------------------------------------------------------ packing ---
+
+
+def _check_packing(rows, capacity):
+    """Invariants: each id placed once; bins within capacity unless a
+    single oversize item; offsets are contiguous next-fit layouts."""
+    from collections import defaultdict
+
+    by_bin = defaultdict(list)
+    for r in rows:
+        by_bin[(r["shard"], r["bin"])].append(r)
+    for (_, _), items in by_bin.items():
+        items.sort(key=lambda r: r["offset"])
+        fill = sum(r["n_tok"] for r in items)
+        if fill > capacity:
+            assert len(items) == 1 and items[0]["oversize"]
+        off = 0
+        for r in items:
+            assert r["offset"] == off
+            off += r["n_tok"]
+
+
+def test_pack_sequences(spark):
+    df = spark.range(500).select(
+        F.format_string("doc-%04d", F.col("id")).alias("doc_id"),
+        (F.pmod(F.col("id") * 37 + 11, F.lit(300)) + 1).cast("int").alias("n_tok"),
+    )
+    out = pack_sequences(df, capacity=512, shards=8).collect()
+    assert len(out) == 500
+    assert len({r["doc_id"] for r in out}) == 500
+    _check_packing(out, 512)
+    # deterministic under repartitioning
+    out2 = pack_sequences(
+        spark.range(500)
+        .select(
+            F.format_string("doc-%04d", F.col("id")).alias("doc_id"),
+            (F.pmod(F.col("id") * 37 + 11, F.lit(300)) + 1).cast("int").alias("n_tok"),
+        )
+        .repartition(13),
+        capacity=512,
+        shards=8,
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_pack_sequences_oversize_and_nulls(spark):
+    df = spark.createDataFrame(
+        [("a", 10), ("b", 999), ("c", 20), ("d", None)],
+        "doc_id string, n_tok int",
+    )
+    out = pack_sequences(df, capacity=100, shards=1).collect()
+    assert {r["doc_id"] for r in out} == {"a", "b", "c"}   # NULL dropped
+    big = next(r for r in out if r["doc_id"] == "b")
+    assert big["oversize"] and big["offset"] == 0
+    # the oversize row shares its bin with nobody
+    assert sum(1 for r in out if r["bin"] == big["bin"]) == 1
+    _check_packing(out, 100)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(st.integers(1, 50), min_size=1, max_size=40),
+    st.integers(10, 80),
+)
+def test_pack_sequences_property(spark, lens, capacity):
+    df = spark.createDataFrame(
+        [(f"d{i:03d}", L) for i, L in enumerate(lens)], "doc_id string, n_tok int"
+    )
+    rows = pack_sequences(df, capacity=capacity, shards=3).collect()
+    assert len(rows) == len(lens)
+    _check_packing(rows, capacity)
+    # next-fit within each shard: a new bin opens only because the previous
+    # bin could not fit the first item of the new bin
+    from collections import defaultdict
+
+    by_shard = defaultdict(list)
+    for r in rows:
+        by_shard[r["shard"]].append(r)
+    for items in by_shard.values():
+        items.sort(key=lambda r: (r["bin"], r["offset"]))
+        fills = defaultdict(int)
+        for r in items:
+            fills[r["bin"]] += r["n_tok"]
+        for r in items:
+            if r["bin"] > 0 and r["offset"] == 0:
+                assert fills[r["bin"] - 1] + r["n_tok"] > capacity
+
+
+# ----------------------------------------------------- budget sampling ---
+
+
+def test_token_budget_sample(spark):
+    df = spark.range(4000).select(
+        F.format_string("doc-%05d", F.col("id")).alias("doc_id"),
+        F.when(F.col("id") % 4 < 3, "web").otherwise("books").alias("source"),
+        F.lit(100).alias("n_tok"),
+    )
+    # web: 3000 docs * 100 = 300k tokens; books: 1000 * 100 = 100k
+    rates = mixture_rates(
+        df, budget_tokens=100_000, shares={"web": 0.5, "books": 0.5}
+    )
+    assert rates["web"] == pytest.approx(50_000 / 300_000)
+    assert rates["books"] == pytest.approx(0.5)
+    out = token_budget_sample(
+        df, budget_tokens=100_000, shares={"web": 0.5, "books": 0.5}
+    )
+    by = {
+        r["source"]: r["t"]
+        for r in out.groupBy("source").agg(F.sum("n_tok").alias("t")).collect()
+    }
+    assert by["web"] == pytest.approx(50_000, rel=0.25)
+    assert by["books"] == pytest.approx(50_000, rel=0.25)
+    # nested: half the budget selects a subset
+    small = token_budget_sample(
+        df, budget_tokens=50_000, shares={"web": 0.5, "books": 0.5}
+    )
+    s_ids = {r["doc_id"] for r in small.select("doc_id").collect()}
+    b_ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert s_ids <= b_ids
+
+    # rate capped at 1.0 keeps the whole stratum
+    all_books = token_budget_sample(
+        df, budget_tokens=10_000_000, shares={"books": 1.0}
+    )
+    assert all_books.count() == 1000
+    assert {r["source"] for r in all_books.select("source").distinct().collect()} == {
+        "books"
+    }
