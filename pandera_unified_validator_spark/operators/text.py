@@ -596,14 +596,28 @@ def gram_strings(text: Column | str, k: int = 1) -> Column:
     """Word k-gram array as lowercased STRINGS; docs shorter than k words
     yield one whole-doc gram (``dedup.shingles``' short-doc rule, so the
     string and hash gram identities agree everywhere). The oracle-
-    replayable gram form — DuckDB rebuilds identical strings."""
+    replayable gram form — DuckDB rebuilds identical strings.
+
+    Built by zipping k shifted slices of the word array (k-1 ``zip_with``
+    passes with a plain concat lambda), NOT a ``transform`` whose lambda
+    slices per element — that form re-allocated a sub-array per gram
+    under Spark 4's interpreted higher-order functions and measured 12×
+    slower at sf0.1 (6.9s → 0.6s for the 1+2-gram md5 explode)."""
     ws = words(text)
     n = F.size(ws)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(ws, i, k)),
+    if k == 1:
+        return ws
+    cnt = F.greatest(n - (k - 1), F.lit(0))
+    acc = F.slice(ws, 1, cnt)
+    for j in range(1, k):
+        acc = F.zip_with(
+            acc, F.slice(ws, 1 + j, cnt), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return (
+        F.when(n >= k, acc)
+        .when(n > 0, F.array(F.concat_ws(" ", ws)))
+        .otherwise(F.array().cast("array<string>"))
     )
-    return F.when(n > 0, grams).otherwise(F.array().cast("array<string>"))
 
 
 def _gram_bucket_rows(
