@@ -837,21 +837,18 @@ def token_contamination_flags(
     broadcasts, the corpus explodes once into (id, gram-hash) longs, and
     only flagged (id, overlap_grams) rows come back."""
     bench_tok = bench_tokens_col or tokens_col
+    # int tokens feed _gram_hashes directly — the per-element hash pre-pass
+    # is a TEXT-gram device (hash each word string once); on ints the nested
+    # transform measured ~6× slower under Spark 4's interpreted HOFs.
     bench_grams = (
-        benchmark.select(
-            F.transform(F.col(bench_tok), lambda t: F.xxhash64(t)).alias("__thh")
-        )
-        .select(F.explode(_gram_hashes(F.col("__thh"), n)).alias("__g"))
+        benchmark.select(F.explode(_gram_hashes(F.col(bench_tok), n)).alias("__g"))
         .distinct()
     )
     if broadcast_benchmark:
         bench_grams = F.broadcast(bench_grams)
     doc_grams = df.select(
         F.col(id_col),
-        F.transform(F.col(tokens_col), lambda t: F.xxhash64(t)).alias("__thh"),
-    ).select(
-        F.col(id_col),
-        F.explode(F.array_distinct(_gram_hashes(F.col("__thh"), n))).alias("__g"),
+        F.explode(F.array_distinct(_gram_hashes(F.col(tokens_col), n))).alias("__g"),
     )
     return (
         doc_grams.join(bench_grams, "__g")

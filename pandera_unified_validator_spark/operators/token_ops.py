@@ -192,13 +192,16 @@ def duplicated_ngram_coverage(
     # caller's operator_cache_scope) so the corpus isn't exploded twice;
     # the lightweight `base` projection (id + length only) stays a plain
     # pruned scan.
+    # NOTE: the token array feeds _gram_hashes DIRECTLY — the per-element
+    # xxhash64 pre-pass exists for TEXT grams (hash each word string once);
+    # on int tokens it is pure overhead, and under Spark 4's interpreted
+    # higher-order functions the nested transform measured ~6× slower
+    # (5.6s → 1.0s for the sf0.1 8-gram explode).
     grams = _cache.persist(
         df.select(
             F.col(id_col),
             F.coalesce(F.size(F.col(tokens_col)), F.lit(0)).alias("__len"),
-            F.posexplode(
-                _gram_hashes(F.transform(F.col(tokens_col), lambda t: F.xxhash64(t)), n)
-            ).alias("__pos", "__g"),
+            F.posexplode(_gram_hashes(F.col(tokens_col), n)).alias("__pos", "__g"),
         ),
         "duplicated_ngram_coverage.grams",
     )
