@@ -2730,14 +2730,17 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "near_dup_components": (q_near_dup_components, _SQL_NEAR_DUP_COMPONENTS),
     "components_deep_chain": (q_components_deep_chain, _SQL_COMPONENTS_DEEP_CHAIN),
     "line_dedup": (q_line_dedup, _SQL_LINE_DEDUP),
-    "contamination_flags": (q_contamination_flags, _SQL_CONTAMINATION_FLAGS),
     "token_contamination": (q_token_contamination, _SQL_TOKEN_CONTAMINATION),
+    # --- LLM-pipeline: token-sequence operators (round 6; token_ops.py) ---
+    "token_seq_flags": (q_token_seq_flags, _SQL_TOKEN_SEQ_FLAGS),
+    "dup_ngram_coverage": (q_dup_ngram_coverage, _SQL_DUP_NGRAM_COVERAGE),
+    "pack_sequences": (q_pack_sequences, _SQL_PACK_SEQUENCES),
+    "mixture_sample": (q_mixture_sample, _SQL_MIXTURE_SAMPLE),
     # --- LLM-pipeline: similarity search ---
     "embedding_topk": (q_embedding_topk, _SQL_EMBEDDING_TOPK),
     "ann_lsh_topk": (q_ann_lsh_topk, _ann_lsh_oracle_sql()),
     # --- LLM-pipeline: text analysis / quality ---
     "text_token_counts": (q_text_token_counts, _SQL_TEXT_TOKEN_COUNTS),
-    "text_quality_by_source": (q_text_quality_by_source, _SQL_TEXT_QUALITY_BY_SOURCE),
     "langid_documents": (q_langid_documents, _langid_oracle_sql()),
     "unigram_lm_quality": (q_unigram_lm_quality, _SQL_UNIGRAM_LM_QUALITY),
     "quality_classifier": (q_quality_classifier, _SQL_QUALITY_CLASSIFIER),
@@ -2753,22 +2756,21 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         _SQL_STREAM_CROSS_BATCH_UNIQUE,
     ),
     "stream_text_quality": (q_stream_text_quality, _SQL_STREAM_TEXT_QUALITY),
-    "multimodal_real_decode": (q_multimodal_real_decode, _SQL_MULTIMODAL_REAL_DECODE),
     "multimodal_jpeg": (q_multimodal_jpeg, _SQL_MULTIMODAL_JPEG),
-    # --- extras whose drift stats round out the family ---
-    "psi_documents_nchars": (q_psi_documents_nchars, _SQL_PSI_DOCUMENTS_NCHARS),
     # ---- entries below here may fall OUTSIDE the driver's 50-entry ----
     # ---- window; each one's §2/LLM row is oracled by a query above ----
+    # (contamination_flags → token_contamination; text_quality_by_source →
+    #  quality_score_documents; multimodal_real_decode → multimodal_jpeg;
+    #  psi/chi²/ks drift stats → mean_drift_lineitem + token_bucket_drift)
+    "contamination_flags": (q_contamination_flags, _SQL_CONTAMINATION_FLAGS),
+    "text_quality_by_source": (q_text_quality_by_source, _SQL_TEXT_QUALITY_BY_SOURCE),
+    "multimodal_real_decode": (q_multimodal_real_decode, _SQL_MULTIMODAL_REAL_DECODE),
+    "psi_documents_nchars": (q_psi_documents_nchars, _SQL_PSI_DOCUMENTS_NCHARS),
     "minhash_parity": (q_minhash_parity, _SQL_MINHASH_PARITY),
     "sessionization_events": (q_sessionization_events, _SQL_SESSIONIZATION_EVENTS),
     "topk_per_group": (q_topk_per_group, _SQL_TOPK_PER_GROUP),
     "chi_square_documents": (q_chi_square_documents, _SQL_CHI_SQUARE_DOCUMENTS),
     "ks_documents_nchars": (q_ks_documents_nchars, _SQL_KS_DOCUMENTS_NCHARS),
-    # --- token-sequence operators (round 6; operators/token_ops.py) ---
-    "token_seq_flags": (q_token_seq_flags, _SQL_TOKEN_SEQ_FLAGS),
-    "dup_ngram_coverage": (q_dup_ngram_coverage, _SQL_DUP_NGRAM_COVERAGE),
-    "pack_sequences": (q_pack_sequences, _SQL_PACK_SEQUENCES),
-    "mixture_sample": (q_mixture_sample, _SQL_MIXTURE_SAMPLE),
 }
 
 
