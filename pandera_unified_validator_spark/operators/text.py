@@ -709,8 +709,6 @@ def train_gram_classifier(
     of corpus vocabulary; scoring (``score_gram_classifier``) is explode
     → broadcast join → map-side-combined groupBy — identical wire shape
     to ``unigram_doc_scores``, no shuffle of text, nothing all-pairs."""
-    from ..utils.cache import registry as _cache
-
     lab = df.filter(F.col(label_col).isNotNull())
     g = _gram_bucket_rows(
         lab,
@@ -721,8 +719,38 @@ def train_gram_classifier(
         hash_fn=hash_fn,
         extra_cols=(label_col,),
     )
+    return _fit_gram_classifier(
+        g,
+        lab,
+        label_col,
+        num_buckets=num_buckets,
+        ngram_max=ngram_max,
+        alpha=alpha,
+        hash_fn=hash_fn,
+    )
+
+
+def _fit_gram_classifier(
+    g: DataFrame,
+    lab: DataFrame,
+    label_col: str,
+    *,
+    num_buckets: int,
+    ngram_max: int,
+    alpha: float,
+    hash_fn: str,
+) -> GramClassifier:
+    """Fit the closed-form NB log-odds model from a gram-occurrence table
+    ``g`` (id, label, __b) plus the labeled doc table ``lab`` (doc-count
+    prior — a pruned scan, no explode). NULL-labeled and NULL-bucket rows
+    (wordless docs under ``explode_outer``) are excluded, so a table built
+    with ``keep_empty_docs=True`` fits identically to the explode form."""
+    from ..utils.cache import registry as _cache
+
     cnt = _cache.persist(
-        g.groupBy("__b").agg(
+        g.filter(F.col("__b").isNotNull() & F.col(label_col).isNotNull())
+        .groupBy("__b")
+        .agg(
             F.sum(F.col(label_col).cast("long")).alias("__cp"),
             F.sum((~F.col(label_col)).cast("long")).alias("__cn"),
         ),
@@ -786,6 +814,18 @@ def score_gram_classifier(
         extra_cols=keep_cols,
         keep_empty_docs=True,
     )
+    return _score_gram_rows(g, model, id_col, keep_cols)
+
+
+def _score_gram_rows(
+    g: DataFrame,
+    model: GramClassifier,
+    id_col: str,
+    keep_cols: Sequence[str],
+) -> DataFrame:
+    """Aggregate a gram-occurrence table (id, *keep, __b; NULL __b =
+    wordless doc) into per-doc scores under ``model`` — the back half of
+    ``score_gram_classifier``, shared with the one-explode combined path."""
     scored = (
         g.join(
             F.broadcast(model.weights.withColumnRenamed("bucket", "__b")),
@@ -812,6 +852,56 @@ def score_gram_classifier(
         logit.alias("logit"),
         (F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))).alias("prob"),
     )
+
+
+def train_score_gram_classifier(
+    df: DataFrame,
+    label_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    keep_cols: Sequence[str] = (),
+    num_buckets: int = 1 << 18,
+    ngram_max: int = 2,
+    alpha: float = 0.5,
+    hash_fn: str = "xxhash64",
+) -> tuple[GramClassifier, DataFrame]:
+    """Train on the labeled subset AND score every doc over ONE gram
+    explode. ``train_gram_classifier`` + ``score_gram_classifier`` on the
+    same corpus each pay a full explode (+ gram-string build in md5 mode)
+    — the dominant cost, and at 100 TB the difference between two
+    full-corpus passes and one. Here the (id, label, *keep, __b)
+    occurrence table is built once, persisted through the cache registry,
+    and feeds both the bucket-count fit and the score aggregation.
+    ``label_col`` NULL marks docs outside the training split (the
+    existing ``train_gram_classifier`` contract); every doc is scored.
+    Returns ``(model, scored)`` with ``scored`` shaped exactly like
+    ``score_gram_classifier``."""
+    from ..utils.cache import registry as _cache
+
+    g = _cache.persist(
+        _gram_bucket_rows(
+            df,
+            id_col,
+            text_col,
+            num_buckets=num_buckets,
+            ngram_max=ngram_max,
+            hash_fn=hash_fn,
+            extra_cols=(label_col, *keep_cols),
+            keep_empty_docs=True,
+        ),
+        "gram_classifier.grams",
+    )
+    model = _fit_gram_classifier(
+        g,
+        df.filter(F.col(label_col).isNotNull()),
+        label_col,
+        num_buckets=num_buckets,
+        ngram_max=ngram_max,
+        alpha=alpha,
+        hash_fn=hash_fn,
+    )
+    return model, _score_gram_rows(g, model, id_col, keep_cols)
 
 
 def analyze_text(

@@ -1781,27 +1781,33 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed-form (smoothed NB log-odds over md5-hashed 1-2-gram buckets,
     B=4096, α=0.5) on the deterministic two-thirds split ``doc_id % 3 >
     0`` labeled ``lang = 'en'``, then every doc is scored (mean-pooled
-    bucket weights + bias → sigmoid) and aggregated per source. Oracle:
+    bucket weights + bias → sigmoid) and aggregated per source — train
+    and score share ONE persisted gram explode
+    (``train_score_gram_classifier``), not two corpus passes. Oracle:
     DuckDB replays the ENTIRE pipeline — gram building (short-doc whole-
     doc rule included), md5 bucketing via the hex-int trick, the exact
     smoothing arithmetic, OOV default weight, mean pooling, bias, and
     sigmoid — not an idealized answer."""
-    from .operators.text import score_gram_classifier, train_gram_classifier
+    from .operators.text import train_score_gram_classifier
 
     d = _t(spark, sf_dir, "documents")
-    train = d.select(
-        "doc_id", "text", (F.col("lang") == "en").alias("is_en")
-    ).where(F.pmod(F.col("doc_id"), F.lit(3)) > 0)
-    model = train_gram_classifier(
-        train,
+    labeled = d.select(
+        "doc_id",
+        "text",
+        "source",
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(3)) > 0, F.col("lang") == "en"
+        ).alias("is_en"),
+    )
+    _, scored = train_score_gram_classifier(
+        labeled,
         "is_en",
-        text_col="text",
+        keep_cols=("source",),
         num_buckets=4096,
         ngram_max=2,
         alpha=0.5,
         hash_fn="md5",
     )
-    scored = score_gram_classifier(d, model, keep_cols=("source",))
     return (
         scored.groupBy("source")
         .agg(

@@ -395,6 +395,45 @@ def test_gram_classifier_md5_matches_python_oracle(spark):
             assert abs(r["prob"] - prob) < 1e-9, doc_id
 
 
+def test_train_score_gram_classifier_one_explode_matches_oracle(spark):
+    """The combined train+score path (one persisted gram explode) must
+    produce bit-identical weights/scores to the separate train-then-score
+    calls — checked against the pure-Python oracle, including the
+    NULL-labeled doc (scored, never trained) and the wordless doc."""
+    from pandera_unified_validator_spark.operators.text import (
+        train_score_gram_classifier,
+    )
+    from pandera_unified_validator_spark.utils.cache import operator_cache_scope
+
+    rows = [
+        ("a", "the quick brown fox the quick", True),
+        ("b", "lazy dog sleeps by the river", True),
+        ("c", "buy cheap pills now buy now", False),
+        ("d", "click here free casino money", False),
+        ("e", "the quick dog clicks here", True),
+        ("f", "", True),
+        ("g", "one", False),
+        ("h", "unlabeled words never train", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string, label boolean")
+    with operator_cache_scope():
+        model, scored = train_score_gram_classifier(
+            df, "label", num_buckets=257, hash_fn="md5", alpha=0.5
+        )
+        got = {r["doc_id"]: r for r in scored.collect()}
+    assert model.num_buckets == 257 and model.hash_fn == "md5"
+    expected = _py_gram_classifier(rows, 257)
+    assert set(got) == {r[0] for r in rows}
+    for doc_id, (n_grams, logit, prob) in expected.items():
+        r = got[doc_id]
+        assert r["n_grams"] == n_grams, doc_id
+        if logit is None:
+            assert r["logit"] is None and r["prob"] is None
+        else:
+            assert abs(r["logit"] - logit) < 1e-9, doc_id
+            assert abs(r["prob"] - prob) < 1e-9, doc_id
+
+
 def test_gram_classifier_separates_and_validates(spark):
     import random
 
