@@ -703,6 +703,20 @@ def embedding_near_dup_pairs(
         else:
             k2 = F.lit(0).cast("long")
         tagged = tagged.select("id", "v", "b", k2.alias("k2"))
+    return _emit_cosine_pairs(tagged, threshold, cap)
+
+
+def _emit_cosine_pairs(
+    tagged: DataFrame, threshold: float, cap: int | None
+) -> DataFrame:
+    """Within-group exact-cosine pair emission over a pre-bucketed corpus
+    ``(id, v, b, k2)`` — the Arrow kernel behind ``embedding_near_dup_pairs``
+    (groups = LSH buckets / hot-split sub-buckets) and ``semdedup`` (groups
+    = k-means clusters / hot-split sub-clusters). One applyInPandas pass:
+    per group, numpy block-matmul of L2-normalized vectors, emitting
+    ``id_a < id_b`` pairs whose rounded cosine clears ``threshold``; a group
+    still larger than ``cap`` emits the linear min-id STAR (near-identical
+    cluster — see ``embedding_near_dup_pairs``'s docstring)."""
     id_dt = tagged.schema["id"].dataType.simpleString()
     out_schema = f"id_a {id_dt}, id_b {id_dt}, cosine_sim double"
 

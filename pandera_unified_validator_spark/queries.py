@@ -1067,6 +1067,145 @@ FROM sims WHERE round(sim, 4) >= {threshold} ORDER BY id_a, id_b
 """
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) under the driver gate: the embeddings
+    corpus unioned with its deterministically perturbed copy (the
+    ``embedding_near_dup`` construction — every true pair has cosine
+    ≈ 0.99999) goes through distributed k-means (md5-rank init, one fixed
+    Lloyd iteration — the update→reassign handoff is what the gate must
+    witness; the 2-iteration loop is pinned bit-exactly by
+    ``test_clustering``'s python oracle — argmin on the ``sum(c²) − 2·x·c``
+    expansion) → within-cluster exact-cosine pairs ≥ 0.99 → connected
+    components → keep the member LEAST similar to its centroid. Oracle:
+    DuckDB replays the ENTIRE pipeline — init ranks, the Lloyd iteration
+    (empty-cluster fallback included), the final assignment + cosine, the
+    rounded pair threshold, a recursive-CTE closure, and the (ccos, id)
+    keep rule — per-cluster doc counts, kept counts, kept-id integer
+    checksums, and 4-dp mean centroid similarity must all agree."""
+    from .operators.clustering import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pert = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x, i: x + (i % 7 - 3).cast("double") * F.lit(0.002),
+        ).alias("embedding"),
+    )
+    out = semdedup(
+        base.unionAll(pert), k=8, iters=1, threshold=0.99, seed=42
+    )
+    return (
+        out.groupBy(F.col("semdedup_cluster").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("semdedup_keep").cast("long")).alias("n_kept"),
+            F.sum(
+                F.when(F.col("semdedup_keep"), F.col("vec_id")).otherwise(F.lit(0))
+            ).alias("kept_id_sum"),
+            F.round(F.avg("semdedup_ccos"), 4).alias("avg_ccos"),
+        )
+        .orderBy("cluster")
+    )
+
+
+_SQL_SEMDEDUP = r"""
+WITH RECURSIVE base AS (
+  SELECT vec_id, embedding FROM embeddings
+),
+u AS MATERIALIZED (
+  SELECT vec_id, pos, x FROM (
+    SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+           unnest(range(1, len(embedding) + 1)) AS pos
+    FROM base)
+  UNION ALL
+  SELECT vec_id + 100000, pos, x + ((pos - 1) % 7 - 3) * 0.002 FROM (
+    SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+           unnest(range(1, len(embedding) + 1)) AS pos
+    FROM base)
+),
+ids AS (SELECT DISTINCT vec_id FROM u),
+init AS (
+  SELECT vec_id,
+         row_number() OVER (
+           ORDER BY ('0x' || substr(md5('42|' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT,
+                    vec_id) - 1 AS cid
+  FROM ids
+  QUALIFY row_number() OVER (
+    ORDER BY ('0x' || substr(md5('42|' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT,
+             vec_id) <= 8
+),
+c0 AS MATERIALIZED (SELECT i.cid, u.pos, u.x AS c FROM init i JOIN u USING (vec_id)),
+-- Lloyd iteration 1: assign on sum(c^2) - 2*dot, mean update, empty-cluster fallback
+d1 AS (SELECT u.vec_id, c.cid, sum(u.x * c.c) AS dot
+       FROM u JOIN c0 c ON c.pos = u.pos GROUP BY 1, 2),
+a1 AS (SELECT vec_id, cid FROM (
+         SELECT d.vec_id, d.cid,
+                row_number() OVER (PARTITION BY d.vec_id
+                                   ORDER BY s.sc - 2 * d.dot, d.cid) AS rn
+         FROM d1 d JOIN (SELECT cid, sum(c * c) AS sc FROM c0 GROUP BY cid) s
+           USING (cid))
+       WHERE rn = 1),
+c1 AS MATERIALIZED (SELECT c0.cid, c0.pos, coalesce(m.c, c0.c) AS c
+       FROM c0 LEFT JOIN (SELECT a.cid, u.pos, avg(u.x) AS c
+                          FROM a1 a JOIN u USING (vec_id) GROUP BY 1, 2) m
+         ON m.cid = c0.cid AND m.pos = c0.pos),
+-- final assignment + cosine to assigned centroid
+scf AS MATERIALIZED (SELECT cid, sum(c * c) AS sc FROM c1 GROUP BY cid),
+df_ AS (SELECT u.vec_id, c.cid, sum(u.x * c.c) AS dot
+        FROM u JOIN c1 c ON c.pos = u.pos GROUP BY 1, 2),
+nx AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM u GROUP BY 1),
+af AS (SELECT vec_id, cid, dot FROM (
+         SELECT d.vec_id, d.cid, d.dot,
+                row_number() OVER (PARTITION BY d.vec_id
+                                   ORDER BY s.sc - 2 * d.dot, d.cid) AS rn
+         FROM df_ d JOIN scf s USING (cid))
+       WHERE rn = 1),
+cc AS MATERIALIZED (SELECT af.vec_id, af.cid,
+              CASE WHEN nx.nrm > 0 AND s.sc > 0
+                   THEN af.dot / (nx.nrm * sqrt(s.sc)) END AS ccos
+       FROM af JOIN nx USING (vec_id) JOIN scf s USING (cid)),
+-- within-cluster pairs at the rounded threshold
+pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       FROM cc a JOIN cc b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+ps AS (SELECT pr.id_a, pr.id_b
+       FROM pr JOIN u xa ON xa.vec_id = pr.id_a
+               JOIN u xb ON xb.vec_id = pr.id_b AND xb.pos = xa.pos
+       GROUP BY 1, 2
+       HAVING round(sum(xa.x * xb.x)
+                    / (sqrt(sum(xa.x * xa.x)) * sqrt(sum(xb.x * xb.x))), 4) >= 0.99),
+e AS (SELECT id_a AS a, id_b AS b FROM ps UNION SELECT id_b, id_a FROM ps),
+reach(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+),
+comp AS MATERIALIZED (SELECT a AS vec_id, least(a, min(b)) AS component FROM reach GROUP BY a),
+win AS (SELECT component, vec_id AS keep_id FROM (
+          SELECT c.component, c.vec_id,
+                 row_number() OVER (PARTITION BY c.component
+                                    ORDER BY coalesce(s.ccos, -2.0), c.vec_id) AS rn
+          FROM comp c JOIN cc s USING (vec_id))
+        WHERE rn = 1),
+verdict AS (
+  SELECT cc.vec_id, cc.cid, cc.ccos,
+         CASE WHEN comp.component IS NULL THEN TRUE
+              ELSE cc.vec_id = win.keep_id END AS keep
+  FROM cc LEFT JOIN comp USING (vec_id)
+          LEFT JOIN win ON win.component = comp.component
+)
+SELECT cid AS cluster,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN keep THEN vec_id ELSE 0 END) AS BIGINT) AS kept_id_sum,
+       round(avg(ccos), 4) AS avg_ccos
+FROM verdict GROUP BY cid ORDER BY cid
+"""
+
+
 def q_ngram_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard verification kernel over a deterministic
     candidate set (every consecutive doc_id pair) — the reusable verify stage
@@ -2733,6 +2872,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "simhash_parity": (q_simhash_parity, _SQL_SIMHASH_PARITY),
     "ngram_jaccard_verify": (q_ngram_jaccard_verify, _SQL_NGRAM_JACCARD_VERIFY),
     "embedding_near_dup": (q_embedding_near_dup, _embedding_near_dup_oracle_sql()),
+    "semdedup_embeddings": (q_semdedup, _SQL_SEMDEDUP),
     "near_dup_components": (q_near_dup_components, _SQL_NEAR_DUP_COMPONENTS),
     "components_deep_chain": (q_components_deep_chain, _SQL_COMPONENTS_DEEP_CHAIN),
     "line_dedup": (q_line_dedup, _SQL_LINE_DEDUP),
@@ -2743,7 +2883,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "pack_sequences": (q_pack_sequences, _SQL_PACK_SEQUENCES),
     "mixture_sample": (q_mixture_sample, _SQL_MIXTURE_SAMPLE),
     # --- LLM-pipeline: similarity search ---
-    "embedding_topk": (q_embedding_topk, _SQL_EMBEDDING_TOPK),
     "ann_lsh_topk": (q_ann_lsh_topk, _ann_lsh_oracle_sql()),
     # --- LLM-pipeline: text analysis / quality ---
     "text_token_counts": (q_text_token_counts, _SQL_TEXT_TOKEN_COUNTS),
@@ -2767,7 +2906,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # ---- window; each one's §2/LLM row is oracled by a query above ----
     # (contamination_flags → token_contamination; text_quality_by_source →
     #  quality_score_documents; multimodal_real_decode → multimodal_jpeg;
-    #  psi/chi²/ks drift stats → mean_drift_lineitem + token_bucket_drift)
+    #  psi/chi²/ks drift stats → mean_drift_lineitem + token_bucket_drift;
+    #  embedding_topk brute-force baseline → ann_lsh_topk, whose exact
+    #  rerank IS brute_force_topk over the probed buckets)
+    "embedding_topk": (q_embedding_topk, _SQL_EMBEDDING_TOPK),
     "contamination_flags": (q_contamination_flags, _SQL_CONTAMINATION_FLAGS),
     "text_quality_by_source": (q_text_quality_by_source, _SQL_TEXT_QUALITY_BY_SOURCE),
     "multimodal_real_decode": (q_multimodal_real_decode, _SQL_MULTIMODAL_REAL_DECODE),
