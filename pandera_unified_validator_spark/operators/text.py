@@ -42,6 +42,10 @@ __all__ = [
     "GramClassifier",
     "train_gram_classifier",
     "score_gram_classifier",
+    "DsirModel",
+    "fit_dsir",
+    "dsir_log_weights",
+    "dsir_resample",
     "analyze_text",
 ]
 
@@ -902,6 +906,199 @@ def train_score_gram_classifier(
         hash_fn=hash_fn,
     )
     return model, _score_gram_rows(g, model, id_col, keep_cols)
+
+
+# ------------------------------------------------ DSIR importance resampling ---
+
+
+@dataclass
+class DsirModel:
+    """Fitted hashed-ngram importance model (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): per-bucket
+    ``log(p_target(b) / q_raw(b))`` over hashed 1..k-gram features.
+    ``log_ratio`` holds ≤ ``num_buckets`` rows (bucket, log_ratio) — a
+    ≤ few-MB broadcast at the standard bucket counts, exactly like
+    :class:`GramClassifier`; ``default_log_ratio`` covers buckets unseen
+    in BOTH fitting corpora (smoothing-only mass)."""
+
+    log_ratio: DataFrame
+    default_log_ratio: float
+    num_buckets: int
+    ngram_max: int
+    hash_fn: str
+
+
+def _dsir_bucket_counts(
+    df: DataFrame,
+    text_col: str,
+    *,
+    num_buckets: int,
+    ngram_max: int,
+    hash_fn: str,
+) -> DataFrame:
+    """Gram-occurrence counts per hashed bucket: (``__b``, ``__c``).
+    Doc identity is irrelevant for fitting, so a literal id feeds the
+    shared gram machinery and prunes the scan to the text column."""
+    g = _gram_bucket_rows(
+        df.select(F.lit(1).alias("__id"), F.col(text_col)),
+        "__id",
+        text_col,
+        num_buckets=num_buckets,
+        ngram_max=ngram_max,
+        hash_fn=hash_fn,
+    )
+    return g.groupBy("__b").agg(F.count(F.lit(1)).alias("__c"))
+
+
+def fit_dsir(
+    target_df: DataFrame,
+    raw_df: DataFrame,
+    text_col: str = "text",
+    *,
+    num_buckets: int = 1 << 16,
+    ngram_max: int = 2,
+    alpha: float = 0.5,
+    hash_fn: str = "xxhash64",
+) -> DsirModel:
+    """Fit DSIR bucket log-ratios from a (small) TARGET corpus and the
+    RAW corpus being selected from.
+
+    Both sides reduce to smoothed multinomials over hashed n-gram
+    buckets: ``p(b) = (c_target[b] + α) / (T_target + αB)`` and likewise
+    ``q(b)`` for raw; the stored weight is ``ln p(b) − ln q(b)``. The
+    fit is two explode→groupBy count passes (map-side combined, buckets
+    bounded by B) full-outer-joined on the bucket id; totals ride a
+    1-row aggregate off the persisted join, so neither corpus is
+    re-exploded for the totals. Public technique; no reference analogue
+    (the reference has no corpus operators).
+
+    At 100 TB the raw-side count pass is the only big job — a bounded-
+    key (≤B) partial-aggregated count, the cheapest full-corpus shape
+    there is; the target corpus is small by construction (DSIR's premise:
+    target = a quality exemplar set like Wikipedia)."""
+    from ..utils.cache import registry as _cache
+
+    ct = _dsir_bucket_counts(
+        target_df, text_col, num_buckets=num_buckets, ngram_max=ngram_max,
+        hash_fn=hash_fn,
+    ).withColumnRenamed("__c", "__ct")
+    cr = _dsir_bucket_counts(
+        raw_df, text_col, num_buckets=num_buckets, ngram_max=ngram_max,
+        hash_fn=hash_fn,
+    ).withColumnRenamed("__c", "__cr")
+    j = _cache.persist(
+        ct.join(cr, "__b", "full_outer").select(
+            "__b",
+            F.coalesce("__ct", F.lit(0)).alias("__ct"),
+            F.coalesce("__cr", F.lit(0)).alias("__cr"),
+        ),
+        "dsir.bucket_counts",
+    )
+    tot = j.agg(F.sum("__ct").alias("tt"), F.sum("__cr").alias("tr")).collect()[0]
+    t_t, t_r = (tot["tt"] or 0), (tot["tr"] or 0)
+    if t_t == 0 or t_r == 0:
+        raise ValueError(
+            f"fit_dsir needs non-empty corpora; got {t_t} target / "
+            f"{t_r} raw gram occurrences"
+        )
+    denom_t = float(t_t) + alpha * num_buckets
+    denom_r = float(t_r) + alpha * num_buckets
+    log_ratio = j.select(
+        F.col("__b").alias("bucket"),
+        (
+            F.log((F.col("__ct") + F.lit(alpha)) / F.lit(denom_t))
+            - F.log((F.col("__cr") + F.lit(alpha)) / F.lit(denom_r))
+        ).alias("log_ratio"),
+    )
+    return DsirModel(
+        log_ratio=log_ratio,
+        default_log_ratio=math.log(alpha / denom_t) - math.log(alpha / denom_r),
+        num_buckets=num_buckets,
+        ngram_max=ngram_max,
+        hash_fn=hash_fn,
+    )
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    model: DsirModel,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    keep_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-document log importance weight under ``model``: ``log w(doc) =
+    Σ_grams log_ratio[bucket]`` — the multinomial log-likelihood ratio
+    over the doc's gram multiset (sum, not mean: DSIR weights, unlike the
+    classifier's fastText pooling, ARE the likelihood ratio). Returns
+    (id, *keep_cols, log_w, n_grams); wordless/NULL docs keep
+    ``log_w = 0`` (empty product), ``n_grams = 0``.
+
+    One explode → broadcast join (≤B-row weight table) → groupBy(id)
+    partial-aggregated sum; document text never crosses the shuffle —
+    only (id, bucket) pairs."""
+    g = _gram_bucket_rows(
+        df,
+        id_col,
+        text_col,
+        num_buckets=model.num_buckets,
+        ngram_max=model.ngram_max,
+        hash_fn=model.hash_fn,
+        extra_cols=keep_cols,
+        keep_empty_docs=True,
+    )
+    scored = g.join(
+        F.broadcast(model.log_ratio), g["__b"] == F.col("bucket"), "left"
+    )
+    term = (
+        F.when(F.col("__b").isNull(), F.lit(0.0))
+        .otherwise(F.coalesce("log_ratio", F.lit(model.default_log_ratio)))
+    )
+    return scored.groupBy(id_col, *keep_cols).agg(
+        F.sum(term).alias("log_w"),
+        F.sum(F.col("__b").isNotNull().cast("long")).alias("n_grams"),
+    )
+
+
+def dsir_resample(
+    df: DataFrame,
+    model: DsirModel,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    seed: int = 42,
+    keep_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Select ``k`` documents without replacement with probability
+    ∝ importance weight — DSIR's resampling step — via the Gumbel-top-k
+    trick: rank on ``log_w + Gumbel(doc)`` where the Gumbel noise is
+    ``-ln(-ln(u))`` with ``u`` derived from the DETERMINISTIC md5
+    content hash (:func:`sampling.sample_hash`), so the selected set is
+    identical on every run, any partitioning, and replayable by any SQL
+    engine. ``log_w`` is rounded to 4dp before ranking (ties broken by
+    id) so cross-engine float-summation-order noise cannot flip ranks.
+
+    Returns (id, *keep_cols, log_w, gumbel) for the k selected docs.
+    The plan is a TakeOrderedAndProject (per-partition top-k heaps, no
+    global sort materialization) — scale-safe for any bounded k."""
+    from .sampling import _HASH_SPAN, sample_hash
+
+    lw = dsir_log_weights(
+        df, model, id_col, text_col, keep_cols=keep_cols
+    ).select(
+        id_col,
+        *keep_cols,
+        F.round("log_w", 4).alias("log_w"),
+        "n_grams",
+    )
+    u = (sample_hash(F.col(id_col), seed) + F.lit(0.5)) / F.lit(float(_HASH_SPAN))
+    gumbel = -F.log(-F.log(u))
+    return (
+        lw.withColumn("gumbel", F.round(gumbel, 4))
+        .orderBy(F.desc(F.col("log_w") + F.col("gumbel")), F.col(id_col))
+        .limit(k)
+    )
 
 
 def analyze_text(

@@ -2018,6 +2018,75 @@ FROM scored GROUP BY source ORDER BY source
 """
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023) under the driver
+    gate: target = the German-language docs, raw = the whole corpus;
+    hashed 1-2-gram bucket multinomials (md5 buckets, B=4096, α=0.5)
+    give per-doc log importance weights, and 100 docs are drawn without
+    replacement via the deterministic Gumbel-top-k (md5 content-hash
+    noise, seed 42). log_w and the Gumbel are rounded to 4dp BEFORE
+    ranking (ties → doc_id) so both engines rank identical doubles.
+    Oracle: DuckDB replays gram building, bucketing, the smoothing
+    arithmetic, per-doc sums, the Gumbel transform, and the top-k —
+    the full pipeline, not an idealized answer."""
+    from .operators.text import dsir_resample, fit_dsir
+
+    d = _t(spark, sf_dir, "documents")
+    model = fit_dsir(
+        d.where(F.col("lang") == "de"),
+        d,
+        num_buckets=4096,
+        ngram_max=2,
+        alpha=0.5,
+        hash_fn="md5",
+    )
+    return dsir_resample(d, model, 100, keep_cols=("source",), seed=42)
+
+
+_SQL_DSIR_SELECT = r"""
+WITH w AS (
+  SELECT doc_id, lang, source,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+g1 AS (SELECT doc_id, unnest(ws) AS g FROM w WHERE len(ws) > 0),
+g2 AS (SELECT doc_id, array_to_string(list_slice(ws, i, i + 1), ' ') AS g
+       FROM w, unnest(generate_series(1, greatest(len(ws) - 1, 1))) AS t(i)
+       WHERE len(ws) > 0),
+grams AS MATERIALIZED (
+  SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT % 4096 AS b
+  FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2)
+),
+ct AS (SELECT b, count(*) AS c FROM grams g JOIN w USING (doc_id)
+       WHERE w.lang = 'de' GROUP BY b),
+cr AS (SELECT b, count(*) AS c FROM grams GROUP BY b),
+tot AS (SELECT (SELECT sum(c) FROM ct) + 0.5 * 4096 AS dt,
+               (SELECT sum(c) FROM cr) + 0.5 * 4096 AS dr),
+wt AS (
+  SELECT cr.b,
+         ln((coalesce(ct.c, 0) + 0.5) / dt) - ln((cr.c + 0.5) / dr) AS lr
+  FROM cr LEFT JOIN ct USING (b), tot
+),
+doc AS (
+  SELECT g.doc_id, round(sum(wt.lr), 4) AS log_w, count(*) AS n_grams
+  FROM grams g JOIN wt ON g.b = wt.b
+  GROUP BY g.doc_id
+),
+scored AS (
+  SELECT w.doc_id, w.source,
+         coalesce(doc.log_w, 0.0) AS log_w,
+         coalesce(doc.n_grams, 0) AS n_grams,
+         round(-ln(-ln(((('0x' || substr(md5('42|' || CAST(w.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                         + 0.5) / 4294967296.0))), 4) AS gumbel
+  FROM w LEFT JOIN doc USING (doc_id)
+)
+SELECT doc_id, source, log_w, CAST(n_grams AS BIGINT) AS n_grams, gumbel
+FROM scored
+ORDER BY (log_w + gumbel) DESC, doc_id
+LIMIT 100
+"""
+
+
 def q_components_deep_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deep-topology components under the driver gate: consecutive
     doc_ids WITHIN each source form one path graph per source — component
@@ -2894,7 +2963,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "repetition_by_source": (q_repetition_by_source, _SQL_REPETITION_BY_SOURCE),
     "pii_by_source": (q_pii_by_source, _SQL_PII_BY_SOURCE),
     "token_bucket_drift": (q_token_bucket_drift, _SQL_TOKEN_BUCKET_DRIFT),
-    "stratified_sample": (q_stratified_sample, _stratified_sample_oracle_sql()),
+    # DSIR importance resampling (round 6) takes the in-window sampling-
+    # family slot; the md5-threshold sampler it shares with
+    # stratified_sample stays attested in-window via mixture_sample.
+    "dsir_select": (q_dsir_select, _SQL_DSIR_SELECT),
     # --- LLM-pipeline: streaming + multimodal ---
     "stream_cross_batch_unique": (
         q_stream_cross_batch_unique,
@@ -2910,6 +2982,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     #  embedding_topk brute-force baseline → ann_lsh_topk, whose exact
     #  rerank IS brute_force_topk over the probed buckets)
     "embedding_topk": (q_embedding_topk, _SQL_EMBEDDING_TOPK),
+    "stratified_sample": (q_stratified_sample, _stratified_sample_oracle_sql()),
     "contamination_flags": (q_contamination_flags, _SQL_CONTAMINATION_FLAGS),
     "text_quality_by_source": (q_text_quality_by_source, _SQL_TEXT_QUALITY_BY_SOURCE),
     "multimodal_real_decode": (q_multimodal_real_decode, _SQL_MULTIMODAL_REAL_DECODE),

@@ -463,3 +463,123 @@ def test_gram_classifier_separates_and_validates(spark):
     # single-class training must raise, not emit a degenerate model
     with pytest.raises(ValueError, match="both classes"):
         train_gram_classifier(df.filter("label"), "label")
+
+
+def _py_dsir(target_rows, raw_rows, num_buckets, ngram_max=2, alpha=0.5):
+    """Pure-Python oracle for md5-mode DSIR: gram building (short-doc
+    rule), md5 bucketing, smoothed multinomial log-ratios, per-doc
+    summed log weights."""
+    import hashlib
+    import math as m
+
+    def grams(text):
+        ws = (text or "").lower().strip().split()
+        out = []
+        if not ws:
+            return out
+        for k in range(1, ngram_max + 1):
+            for i in range(max(len(ws) - (k - 1), 1)):
+                out.append(" ".join(ws[i : i + k]))
+        return out
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % num_buckets
+
+    ct, cr = {}, {}
+    for _, text in target_rows:
+        for g in grams(text):
+            ct[bucket(g)] = ct.get(bucket(g), 0) + 1
+    for _, text in raw_rows:
+        for g in grams(text):
+            cr[bucket(g)] = cr.get(bucket(g), 0) + 1
+    denom_t = sum(ct.values()) + alpha * num_buckets
+    denom_r = sum(cr.values()) + alpha * num_buckets
+
+    def w(b):
+        return m.log((ct.get(b, 0) + alpha) / denom_t) - m.log(
+            (cr.get(b, 0) + alpha) / denom_r
+        )
+
+    out = {}
+    for doc_id, text in raw_rows:
+        gs = grams(text)
+        out[doc_id] = (len(gs), sum(w(bucket(g)) for g in gs))
+    return out
+
+
+def test_dsir_md5_matches_python_oracle(spark):
+    from pandera_unified_validator_spark.operators.text import (
+        dsir_log_weights,
+        fit_dsir,
+    )
+
+    target = [
+        ("t1", "the quick brown fox jumps"),
+        ("t2", "quick brown foxes are quick"),
+    ]
+    raw = [
+        ("r1", "the quick brown fox"),        # target-like: high weight
+        ("r2", "buy cheap pills now now"),    # off-target: low weight
+        ("r3", "quick brown"),
+        ("r4", ""),                           # wordless: log_w == 0.0
+        ("r5", None),                         # NULL text: log_w == 0.0
+        ("r6", "one"),                        # short-doc whole-doc gram rule
+    ]
+    tdf = spark.createDataFrame(target, "doc_id string, text string")
+    rdf = spark.createDataFrame(raw, "doc_id string, text string")
+    model = fit_dsir(tdf, rdf, num_buckets=257, hash_fn="md5", alpha=0.5)
+    expected = _py_dsir(target, raw, 257)
+    got = {r["doc_id"]: r for r in dsir_log_weights(rdf, model).collect()}
+    assert set(got) == {r[0] for r in raw}
+    for doc_id, (n_grams, log_w) in expected.items():
+        assert got[doc_id]["n_grams"] == n_grams, doc_id
+        assert abs(got[doc_id]["log_w"] - log_w) < 1e-9, doc_id
+    # the target-like doc outweighs the off-target one
+    assert got["r1"]["log_w"] > got["r2"]["log_w"]
+
+
+def test_dsir_resample_deterministic_and_weighted(spark):
+    from pandera_unified_validator_spark.operators.text import (
+        dsir_resample,
+        fit_dsir,
+    )
+
+    # target speaks "alpha"; raw is half alpha-docs, half beta-docs
+    target = [(f"t{i}", "alpha alpha common words") for i in range(4)]
+    raw = [
+        (f"a{i}", "alpha common words here") for i in range(30)
+    ] + [
+        (f"b{i}", "beta unrelated junk spam") for i in range(30)
+    ]
+    tdf = spark.createDataFrame(target, "doc_id string, text string")
+    rdf = spark.createDataFrame(raw, "doc_id string, text string")
+    model = fit_dsir(tdf, rdf, num_buckets=509, hash_fn="md5")
+    sel1 = dsir_resample(rdf, model, 20, seed=7).collect()
+    sel2 = dsir_resample(rdf.repartition(13), model, 20, seed=7).collect()
+    ids1 = [r["doc_id"] for r in sel1]
+    # deterministic across partitionings (content-hash Gumbel noise)
+    assert ids1 == [r["doc_id"] for r in sel2]
+    assert len(ids1) == len(set(ids1)) == 20
+    # importance resampling: alpha-docs dominate the selected set
+    n_alpha = sum(i.startswith("a") for i in ids1)
+    assert n_alpha >= 15
+    # a different seed draws a different (still deterministic) set
+    ids3 = [r["doc_id"] for r in dsir_resample(rdf, model, 20, seed=8).collect()]
+    assert ids3 != ids1
+
+
+def test_dsir_weights_broadcast_plan(spark):
+    """The per-doc scoring join must broadcast the ≤B-row weight table —
+    no shuffle of the exploded gram stream for the join side."""
+    from pandera_unified_validator_spark.operators.text import (
+        dsir_log_weights,
+        fit_dsir,
+    )
+
+    df = spark.createDataFrame(
+        [(str(i), "some words here") for i in range(10)],
+        "doc_id string, text string",
+    )
+    model = fit_dsir(df.limit(3), df, num_buckets=127, hash_fn="xxhash64")
+    plan = dsir_log_weights(df, model)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
