@@ -58,6 +58,7 @@ from .text import _gram_hashes
 __all__ = [
     "token_sequence_flags",
     "duplicated_ngram_coverage",
+    "remove_duplicated_spans",
     "pack_sequences",
     "token_budget_sample",
     "mixture_rates",
@@ -241,6 +242,126 @@ def duplicated_ngram_coverage(
         )
         .otherwise(F.lit(0.0))
         .alias("dup_frac"),
+    )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    *,
+    n: int = 16,
+    min_docs: int = 2,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span REMOVAL (the edit step of Lee
+    et al. 2022 — :func:`duplicated_ngram_coverage` is the matching
+    measurement): delete from every document the token positions covered
+    by a duplicated ``n``-gram occurrence, keeping ONE canonical
+    occurrence per gram (the first by ``(doc_id, pos)``) so repeated
+    boilerplate survives exactly once in the corpus.
+
+    Returns one row per input document: ``(id, *keep_cols, tokens_col,
+    tok_len, n_removed)`` where ``tokens_col`` is the rebuilt array
+    (original order, removed spans cut out), ``tok_len`` the ORIGINAL
+    length. Documents with nothing to remove (including NULL-token
+    docs) pass through unchanged.
+
+    Shape at scale: the gram explode/dup-gram aggregate is shared
+    machinery with the coverage operator (hash-combined grams, never
+    materialized strings); the running-max window converts overlapping
+    hit intervals into disjoint segments, so the per-doc segment list is
+    bounded by ``len/1`` worst-case but tiny in practice; the ONE
+    shuffle of token arrays is the final ``id``-keyed join that pairs
+    each doc with its segment list for the rebuild (rewriting content
+    requires touching it exactly once). The rebuild itself is a per-row
+    fold over the segment list (interpreted HOF — acceptable: it runs
+    once per *rewritten* document, not per token)."""
+    grams = _cache.persist(
+        df.select(
+            F.col(id_col),
+            F.coalesce(F.size(F.col(tokens_col)), F.lit(0)).alias("__len"),
+            F.posexplode(_gram_hashes(F.col(tokens_col), n)).alias("__pos", "__g"),
+        ),
+        "remove_duplicated_spans.grams",
+    )
+    dup = (
+        grams.groupBy("__g")
+        .agg(
+            F.count_distinct(F.col(id_col)).alias("__nd"),
+            F.min(F.struct(F.col(id_col).alias("i"), F.col("__pos").alias("p"))).alias(
+                "__can"
+            ),
+        )
+        .filter(F.col("__nd") >= min_docs)
+        .select("__g", "__can")
+    )
+    hits = grams.join(dup, "__g").filter(
+        ~(
+            (F.col(id_col) == F.col("__can.i"))
+            & (F.col("__pos") == F.col("__can.p"))
+        )
+    )
+    end = F.least(F.col("__pos") + n, F.col("__len"))
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("__pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_end = F.coalesce(F.max(end).over(w), F.col("__pos"))
+    seg_start = F.greatest(F.col("__pos"), prev_end)
+    segs = (
+        hits.select(
+            F.col(id_col), seg_start.alias("__s"), end.alias("__e")
+        )
+        .filter(F.col("__e") > F.col("__s"))
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("__s"), F.col("__e")))
+            ).alias("__segs"),
+            F.sum(F.col("__e") - F.col("__s")).alias("__removed"),
+        )
+    )
+    toks = F.col(tokens_col)
+    # fold the disjoint, sorted segment list into the kept-gap concat:
+    # acc = (end of last removed segment, tokens kept so far)
+    tok_type = df.schema[tokens_col].dataType.simpleString()
+    init = F.struct(
+        F.lit(0).cast("int").alias("last"),
+        F.array().cast(tok_type).alias("acc"),
+    )
+    rebuilt = F.aggregate(
+        F.col("__segs"),
+        init,
+        lambda a, s: F.struct(
+            s["__e"].cast("int").alias("last"),
+            F.concat(
+                a["acc"],
+                F.slice(
+                    toks,
+                    a["last"] + 1,
+                    F.greatest(s["__s"] - a["last"], F.lit(0)),
+                ),
+            ).alias("acc"),
+        ),
+        lambda a: F.concat(
+            a["acc"],
+            F.slice(
+                toks,
+                a["last"] + 1,
+                F.greatest(F.size(toks) - a["last"], F.lit(0)),
+            ),
+        ),
+    )
+    return df.join(segs, id_col, "left").select(
+        F.col(id_col),
+        *keep_cols,
+        F.when(F.col("__segs").isNull(), toks)
+        .otherwise(rebuilt)
+        .alias(tokens_col),
+        F.coalesce(F.size(toks), F.lit(0)).cast("long").alias("tok_len"),
+        F.coalesce(F.col("__removed"), F.lit(0)).cast("long").alias("n_removed"),
     )
 
 

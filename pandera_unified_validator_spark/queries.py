@@ -2722,6 +2722,103 @@ def q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-span REMOVAL (Lee et al. 2022 edit
+    step) under the driver gate: the same synthetic token table as
+    ``dup_ngram_coverage`` (word lengths + a 12-token boilerplate run on
+    every 3rd doc), 8-grams in ≥2 docs, first-(doc,pos) canonical
+    keeper. Each doc reports its original length, removed-token count,
+    cleaned length, and a POSITION-WEIGHTED integer checksum of the
+    rebuilt array (Σ (i+1)·tok — order-sensitive, so a rebuild that
+    kept the right multiset in the wrong order fails). Oracle: DuckDB
+    replays grams as raw tuples, the canonical rank, the removed
+    position set, and the checksum over kept positions."""
+    from .operators.text import words
+    from .operators.token_ops import remove_duplicated_spans
+
+    d = _t(spark, sf_dir, "documents")
+    wl = F.transform(words("text"), F.length)
+    boiler = F.array(*[F.lit(i) for i in (3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8)])
+    toks = (
+        F.when(F.pmod(F.col("doc_id"), F.lit(3)) == 0, F.concat(wl, boiler))
+        .otherwise(wl)
+        .cast("array<int>")
+    )
+    out = remove_duplicated_spans(
+        d.select("doc_id", toks.alias("tokens")), n=8, min_docs=2
+    )
+    clean = F.coalesce(F.col("tokens"), F.array().cast("array<int>"))
+    weighted = F.transform(clean, lambda x, i: x.cast("long") * (i + F.lit(1)))
+    return out.select(
+        "doc_id",
+        "tok_len",
+        "n_removed",
+        F.size(clean).cast("long").alias("clean_len"),
+        F.aggregate(
+            weighted, F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("clean_check"),
+    ).orderBy("doc_id")
+
+
+_SQL_DEDUP_TOKEN_SPANS = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_transform(
+           list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''),
+           x -> length(x)) AS wl
+  FROM documents
+),
+t AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN list_concat(wl, [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8])
+              ELSE wl END AS tk
+  FROM w
+),
+g AS (
+  SELECT doc_id, len(tk) AS L, i - 1 AS pos,
+         array_to_string(list_slice(tk, i, i + 7), ',') AS gr
+  FROM t, unnest(generate_series(1, greatest(len(tk) - 7, 1))) AS u(i)
+  WHERE len(tk) > 0
+),
+d2 AS (
+  SELECT gr FROM (SELECT gr, count(DISTINCT doc_id) AS nd FROM g GROUP BY gr)
+  WHERE nd >= 2
+),
+h0 AS (
+  SELECT g.doc_id, g.L, g.pos,
+         row_number() OVER (PARTITION BY gr ORDER BY doc_id, pos) AS rk
+  FROM g JOIN d2 USING (gr)
+),
+h AS (SELECT doc_id, pos, least(pos + 8, L) AS e FROM h0 WHERE rk > 1),
+p AS (
+  SELECT doc_id, i - 1 AS p, tk[i] AS tok
+  FROM t, unnest(generate_series(1, len(tk))) AS u(i)
+),
+rem AS (
+  SELECT DISTINCT p.doc_id, p.p
+  FROM p JOIN h ON p.doc_id = h.doc_id AND p.p >= h.pos AND p.p < h.e
+),
+kept AS (
+  SELECT p.doc_id, p.tok,
+         row_number() OVER (PARTITION BY p.doc_id ORDER BY p.p) AS rn
+  FROM p LEFT JOIN rem ON p.doc_id = rem.doc_id AND p.p = rem.p
+  WHERE rem.p IS NULL
+)
+SELECT t.doc_id,
+       CAST(coalesce(len(tk), 0) AS BIGINT) AS tok_len,
+       CAST(coalesce(r.nrem, 0) AS BIGINT) AS n_removed,
+       CAST(coalesce(k.nk, 0) AS BIGINT) AS clean_len,
+       CAST(coalesce(k.chk, 0) AS BIGINT) AS clean_check
+FROM t
+LEFT JOIN (SELECT doc_id, count(*) AS nrem FROM rem GROUP BY doc_id) r
+       ON t.doc_id = r.doc_id
+LEFT JOIN (SELECT doc_id, count(*) AS nk, sum(tok * rn) AS chk FROM kept GROUP BY doc_id) k
+       ON t.doc_id = k.doc_id
+ORDER BY t.doc_id
+"""
+
+
 _SQL_DUP_NGRAM_COVERAGE = r"""
 WITH w AS (
   SELECT doc_id,
@@ -2981,6 +3078,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     #  psi/chi²/ks drift stats → mean_drift_lineitem + token_bucket_drift;
     #  embedding_topk brute-force baseline → ann_lsh_topk, whose exact
     #  rerank IS brute_force_topk over the probed buckets)
+    # dup-span family's in-window sibling is dup_ngram_coverage (the
+    # measurement); this is the matching ExactSubstr edit step
+    "dedup_token_spans": (q_dedup_token_spans, _SQL_DEDUP_TOKEN_SPANS),
     "embedding_topk": (q_embedding_topk, _SQL_EMBEDDING_TOPK),
     "stratified_sample": (q_stratified_sample, _stratified_sample_oracle_sql()),
     "contamination_flags": (q_contamination_flags, _SQL_CONTAMINATION_FLAGS),

@@ -283,3 +283,105 @@ def test_token_budget_sample(spark):
     assert {r["source"] for r in all_books.select("source").distinct().collect()} == {
         "books"
     }
+
+
+def _removal_oracle(docs, n, min_docs):
+    """Pure-Python replay of remove_duplicated_spans: dup grams with a
+    first-(doc,pos) canonical keeper; a position is removed iff covered
+    by any NON-canonical dup-gram occurrence."""
+    from collections import defaultdict
+
+    def occurrences(toks):
+        if not toks:
+            return []
+        if len(toks) < n:
+            return [(0, tuple(toks))]
+        return [(i, tuple(toks[i : i + n])) for i in range(len(toks) - n + 1)]
+
+    gram_docs = defaultdict(set)
+    gram_can = {}
+    for doc_id, toks in docs:
+        for pos, g in occurrences(toks or []):
+            gram_docs[g].add(doc_id)
+            key = (doc_id, pos)
+            if g not in gram_can or key < gram_can[g]:
+                gram_can[g] = key
+    out = {}
+    for doc_id, toks in docs:
+        toks = toks or []
+        removed = set()
+        for pos, g in occurrences(toks):
+            if len(gram_docs[g]) >= min_docs and gram_can[g] != (doc_id, pos):
+                removed |= set(range(pos, min(pos + n, len(toks))))
+        out[doc_id] = (
+            [t for i, t in enumerate(toks) if i not in removed],
+            len(toks),
+            len(removed),
+        )
+    return out
+
+
+def test_remove_duplicated_spans(spark):
+    from pandera_unified_validator_spark.operators.token_ops import (
+        remove_duplicated_spans,
+    )
+
+    boiler = [9, 8, 7, 6, 5, 4]
+    docs = [
+        (1, [1, 2, 3] + boiler + [10, 11]),   # canonical boiler keeper
+        (2, [20, 21] + boiler + [22]),        # boiler removed
+        (3, boiler + [30] + boiler),          # overlapping/self-repeat
+        (4, [40, 41, 42, 43, 44, 45, 46]),    # untouched
+        (5, [50, 51]),                        # short unique: untouched
+        (6, [60, 61]),
+        (7, [60, 61]),                        # short exact dup: emptied
+        (8, []),                              # empty
+        (9, None),                            # NULL passthrough
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, tokens array<int>")
+    got = {
+        r["doc_id"]: r
+        for r in remove_duplicated_spans(df, n=4, min_docs=2).collect()
+    }
+    expected = _removal_oracle(docs, 4, 2)
+    assert set(got) == set(expected)
+    for doc_id, (clean, tok_len, n_removed) in expected.items():
+        r = got[doc_id]
+        if docs[doc_id - 1][1] is None:
+            assert r["tokens"] is None
+        else:
+            assert list(r["tokens"]) == clean, doc_id
+        assert r["tok_len"] == tok_len, doc_id
+        assert r["n_removed"] == n_removed, doc_id
+    # the canonical keeper retains the boilerplate, later docs lose it
+    assert got[1]["n_removed"] == 0
+    assert got[2]["n_removed"] >= len(boiler)
+    assert got[7]["tokens"] == [] and got[6]["tokens"] == [60, 61]
+
+
+@given(
+    token_lists=st.lists(
+        st.lists(st.integers(min_value=0, max_value=3), max_size=10),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_remove_duplicated_spans_property(spark, token_lists):
+    """Tiny-alphabet corpora force heavy gram sharing; the engine must
+    match the positional-set oracle exactly, and cleaned length must
+    equal tok_len - n_removed."""
+    from pandera_unified_validator_spark.operators.token_ops import (
+        remove_duplicated_spans,
+    )
+
+    docs = [(i, toks) for i, toks in enumerate(token_lists)]
+    df = spark.createDataFrame(docs, "doc_id int, tokens array<int>")
+    got = {
+        r["doc_id"]: r for r in remove_duplicated_spans(df, n=3, min_docs=2).collect()
+    }
+    expected = _removal_oracle(docs, 3, 2)
+    for doc_id, (clean, tok_len, n_removed) in expected.items():
+        r = got[doc_id]
+        assert list(r["tokens"] or []) == clean, doc_id
+        assert r["n_removed"] == n_removed == tok_len - len(clean), doc_id
