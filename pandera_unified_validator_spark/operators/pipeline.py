@@ -5,7 +5,8 @@ them (RefinedWeb / Gopher / CCNet):
     line dedup → Gopher quality gate → URL blocklist → MinHash near-dup +
     connected-components keep-one → learned hashed-ngram quality filter
     (optional) → percentile unigram-LM floor → deterministic stratified
-    sampling
+    sampling → DSIR importance selection against a target exemplar
+    corpus (optional)
 
 Everything stays lazy until the caller acts on the returned DataFrame;
 operator-level caches (signature store, CC label checkpoints, LM vocab)
@@ -54,6 +55,13 @@ class CurationConfig:
       wordless rows here.
     * ``sample_fractions`` — per-stratum deterministic hash sampling (None
       disables); ``default_fraction`` applies to unlisted strata
+    * ``dsir_k`` + ``dsir_target`` — final DSIR selection (Xie et al.
+      2023): fit hashed-ngram importance weights of the surviving corpus
+      against the ``dsir_target`` exemplar corpus (e.g. Wikipedia) and
+      keep ``dsir_k`` docs via deterministic Gumbel-top-k. Runs LAST —
+      it is the target-aware alternative to flat sampling, and fitting
+      it on the post-gate corpus matches the paper's raw-pool setup.
+      None disables.
     """
 
     min_line_chars: int | None = 30
@@ -67,6 +75,10 @@ class CurationConfig:
     lm_reference: DataFrame | None = None
     sample_fractions: Mapping[str, float] | None = None
     default_fraction: float = 0.0
+    dsir_k: int | None = None
+    dsir_target: DataFrame | None = None
+    dsir_num_buckets: int = 1 << 16
+    dsir_seed: int = 42
 
 
 def curate_corpus(
@@ -166,4 +178,25 @@ def curate_corpus(
             id_col,
             default_fraction=cfg.default_fraction,
         )
+    if cfg.dsir_k is not None:
+        if cfg.dsir_target is None:
+            raise ValueError("dsir_k requires a dsir_target exemplar corpus")
+        from ..utils.cache import registry as _cache
+        from .text import dsir_resample, fit_dsir
+
+        # three consumers of ``step`` (raw-side bucket counts in the fit,
+        # the weight explode in the resample, the keep join) — persist the
+        # surviving corpus once so the gate lineage above doesn't re-run
+        # per branch; the fit itself runs a totals job, like the LM stage
+        step = _cache.persist(step, "curate_corpus.pre_dsir")
+        model = fit_dsir(
+            cfg.dsir_target,
+            step,
+            text_col,
+            num_buckets=cfg.dsir_num_buckets,
+        )
+        sel = dsir_resample(
+            step, model, cfg.dsir_k, id_col, text_col, seed=cfg.dsir_seed
+        )
+        step = step.join(sel.select(id_col), id_col)
     return step

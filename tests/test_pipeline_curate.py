@@ -146,3 +146,46 @@ def test_curate_quality_classifier_stage(spark):
         ),
     )
     assert {r["doc_id"] for r in on.collect()} == {1}
+
+
+def test_curate_dsir_stage(spark):
+    """The DSIR knob: with all other gates off, dsir_k selects exactly k
+    docs biased toward the target exemplar corpus; dsir_k without a
+    target raises; the selection is deterministic."""
+    import dataclasses
+
+    from pandera_unified_validator_spark.utils.cache import (
+        operator_cache_scope,
+    )
+
+    target = spark.createDataFrame(
+        [(1000 + i, "t", "quality reference prose sentences") for i in range(4)],
+        "doc_id long, source string, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(i, "src", "quality reference prose here") for i in range(20)]
+        + [(100 + i, "src", "junk spam tokens unrelated") for i in range(20)],
+        "doc_id long, source string, text string",
+    )
+    base = CurationConfig(
+        min_line_chars=None, gopher=False, near_dup_threshold=None,
+        lm_drop_pct=None, sample_fractions=None,
+    )
+    cfg = dataclasses.replace(base, dsir_k=10, dsir_target=target,
+                              dsir_num_buckets=509)
+    with operator_cache_scope():
+        got = curate_corpus(corpus, config=cfg).collect()
+        ids = sorted(r["doc_id"] for r in got)
+        assert len(ids) == 10
+        # target-like docs dominate the selection
+        assert sum(i < 100 for i in ids) >= 8
+        # schema passthrough: the curated rows keep the input columns
+        assert set(got[0].asDict()) == {"doc_id", "source", "text"}
+    with operator_cache_scope():
+        again = sorted(
+            r["doc_id"] for r in curate_corpus(corpus, config=cfg).collect()
+        )
+    assert again == ids
+
+    with pytest.raises(ValueError, match="dsir_target"):
+        curate_corpus(corpus, config=dataclasses.replace(base, dsir_k=5))
