@@ -184,6 +184,53 @@ def main() -> None:
         )
     )
 
+    from pandera_unified_validator_spark.operators.text import (
+        dsir_resample,
+        fit_dsir,
+    )
+    from pandera_unified_validator_spark.utils.cache import (
+        operator_cache_scope as _dsir_scope,
+    )
+
+    with _dsir_scope():
+        dsir_model = fit_dsir(
+            docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(7)) == 0),
+            docs,
+            num_buckets=4096,
+        )
+        sections.append(
+            (
+                "DSIR importance resampling (round-6)",
+                "The ≤B-row log-ratio table BROADCASTS into the weight "
+                "explode (text never shuffles — only (doc, bucket) pairs "
+                "reach the per-doc sum), and the k-selection is a "
+                "TakeOrderedAndProject: per-partition top-k heaps, no "
+                "global sort materialization. The live path is scan → "
+                "explode → BroadcastHashJoin → two-phase aggregate → "
+                "top-k; the sort-merge joins / extra scans in the counts "
+                "below all sit INSIDE the InMemoryRelation (the fit's "
+                "persisted bucket-count join — built once, then served "
+                "from cache) plus AQE's duplicated Initial-Plan listing.",
+                plan_of(dsir_resample(docs, dsir_model, 100)),
+            )
+        )
+
+    from pandera_unified_validator_spark.operators.token_ops import (
+        remove_duplicated_spans,
+    )
+
+    sections.append(
+        (
+            "Duplicated-span removal (ExactSubstr edit step, round-6)",
+            "The gram explode and dup-gram aggregate shuffle only "
+            "(id, pos, gram-hash) longs; the running-max window converts "
+            "hit intervals to disjoint segments; token ARRAYS cross "
+            "exactly one shuffle — the final id-keyed join that pairs "
+            "each doc with its segment list for the rebuild fold.",
+            plan_of(remove_duplicated_spans(df, n=8, min_docs=2)),
+        )
+    )
+
     from pandera_unified_validator_spark.operators.pipeline import (
         CurationConfig,
         curate_corpus,
