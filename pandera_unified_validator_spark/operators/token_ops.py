@@ -285,11 +285,17 @@ def remove_duplicated_spans(
         ),
         "remove_duplicated_spans.grams",
     )
+    # two-level aggregate: (gram, doc) → first in-doc position is a pure
+    # HASH aggregate (map-side combined, codegen); only the already-
+    # distinct (gram, doc) rows reach the min-struct canonical pick (a
+    # SortAggregate — struct min isn't hash-aggregable), and the plain
+    # count over distinct rows replaces count_distinct's expand pass
+    per_doc = grams.groupBy("__g", id_col).agg(F.min("__pos").alias("__fp"))
     dup = (
-        grams.groupBy("__g")
+        per_doc.groupBy("__g")
         .agg(
-            F.count_distinct(F.col(id_col)).alias("__nd"),
-            F.min(F.struct(F.col(id_col).alias("i"), F.col("__pos").alias("p"))).alias(
+            F.count(F.lit(1)).alias("__nd"),
+            F.min(F.struct(F.col(id_col).alias("i"), F.col("__fp").alias("p"))).alias(
                 "__can"
             ),
         )

@@ -2747,17 +2747,29 @@ def q_dedup_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = remove_duplicated_spans(
         d.select("doc_id", toks.alias("tokens")), n=8, min_docs=2
     )
+    # position-weighted checksum via posexplode + codegen sum, NOT an
+    # interpreted per-element fold (Spark 4 HOFs are interpreted; the
+    # explode form is all whole-stage codegen and reuses no extra shuffle
+    # beyond its groupBy)
     clean = F.coalesce(F.col("tokens"), F.array().cast("array<int>"))
-    weighted = F.transform(clean, lambda x, i: x.cast("long") * (i + F.lit(1)))
-    return out.select(
-        "doc_id",
-        "tok_len",
-        "n_removed",
-        F.size(clean).cast("long").alias("clean_len"),
-        F.aggregate(
-            weighted, F.lit(0).cast("long"), lambda a, x: a + x
-        ).alias("clean_check"),
-    ).orderBy("doc_id")
+    return (
+        out.select(
+            "doc_id",
+            "tok_len",
+            "n_removed",
+            F.posexplode_outer(clean).alias("__p", "__x"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.first("tok_len").alias("tok_len"),
+            F.first("n_removed").alias("n_removed"),
+            F.count("__x").alias("clean_len"),
+            F.coalesce(
+                F.sum((F.col("__p") + 1) * F.col("__x").cast("long")), F.lit(0)
+            ).alias("clean_check"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 _SQL_DEDUP_TOKEN_SPANS = r"""
