@@ -978,6 +978,8 @@ def fit_dsir(
     target = a quality exemplar set like Wikipedia)."""
     from ..utils.cache import registry as _cache
 
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0 (smoothing), got {alpha}")
     ct = _dsir_bucket_counts(
         target_df, text_col, num_buckets=num_buckets, ngram_max=ngram_max,
         hash_fn=hash_fn,
