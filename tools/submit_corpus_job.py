@@ -5,7 +5,8 @@ the training-data operators.
 Stages (each a first-class operator of this engine): corpus-level line dedup
 → Gopher quality gate → URL blocklist → MinHash near-dup + connected-
 components keep-one → unigram-LM quality floor → deterministic stratified
-sample → write parquet + one JSON summary line. Operator caches (signature
+sample → optional DSIR importance selection (``--dsir-k``) → write parquet
++ one JSON summary line. Operator caches (signature
 store, CC label checkpoints) are released via ``operator_cache_scope`` once
 the output is written — the long-lived-session hygiene the cache registry
 exists for.
@@ -113,9 +114,16 @@ def main() -> int:
                         "buckets — an absolute floor would need per-corpus "
                         "tuning)")
     p.add_argument("--sample", default="src0=1.0,src1=1.0,src2=0.5,src3=0.5")
+    p.add_argument("--dsir-k", type=int, default=0,
+                   help="final DSIR selection (Xie et al. 2023): keep K docs "
+                        "by importance against the target slice (0 disables). "
+                        "The target is the doc_id %% 17 == 0 slice of the raw "
+                        "input — a deterministic stand-in for a clean "
+                        "exemplar corpus (Wikipedia in the paper)")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
 
     spark = SparkSession.builder.appName("puv-corpus-pipeline").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -164,6 +172,15 @@ def main() -> int:
         step = curate_corpus(
             step, config=CurationConfig(**{**off, "sample_fractions": fractions})
         )
+        if args.dsir_k:
+            stages["after_sample"] = step.count()
+            target = corpus.where(F.pmod("doc_id", F.lit(17)) == 0)
+            step = curate_corpus(
+                step,
+                config=CurationConfig(
+                    **{**off, "dsir_k": args.dsir_k, "dsir_target": target}
+                ),
+            )
         step.write.mode("overwrite").parquet(args.output)
 
     stages["written"] = spark.read.parquet(args.output).count()
