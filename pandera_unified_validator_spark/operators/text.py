@@ -39,6 +39,7 @@ __all__ = [
     "unigram_lm",
     "unigram_doc_scores",
     "gram_strings",
+    "token_gram_strings",
     "GramClassifier",
     "train_gram_classifier",
     "score_gram_classifier",
@@ -624,6 +625,32 @@ def gram_strings(text: Column | str, k: int = 1) -> Column:
     )
 
 
+def token_gram_strings(tokens: Column | str, k: int = 1) -> Column:
+    """Token k-gram array as comma-joined STRINGS over an ``array<int>``
+    column — the oracle-replayable gram form for the TOKEN payload
+    (DuckDB: ``array_to_string(list_slice(tk, i, i+k-1), ',')``). Same
+    short-doc rule as :func:`gram_strings` / ``_gram_hashes``: a sequence
+    shorter than ``k`` yields one whole-sequence gram; NULL → empty.
+    Built by the same zip-of-shifted-slices trick (per-element slicing
+    transforms are ~12× slower under Spark 4's interpreted HOFs)."""
+    t = F.col(tokens) if isinstance(tokens, str) else tokens
+    s = F.transform(t, lambda x: x.cast("string"))
+    n = F.coalesce(F.size(s), F.lit(0))
+    if k == 1:
+        return F.when(n > 0, s).otherwise(F.array().cast("array<string>"))
+    cnt = F.greatest(n - (k - 1), F.lit(0))
+    acc = F.slice(s, 1, cnt)
+    for j in range(1, k):
+        acc = F.zip_with(
+            acc, F.slice(s, 1 + j, cnt), lambda a, b: F.concat(a, F.lit(","), b)
+        )
+    return (
+        F.when(n >= k, acc)
+        .when(n > 0, F.array(F.concat_ws(",", s)))
+        .otherwise(F.array().cast("array<string>"))
+    )
+
+
 def _gram_bucket_rows(
     df: DataFrame,
     id_col: str,
@@ -634,34 +661,49 @@ def _gram_bucket_rows(
     hash_fn: str,
     extra_cols: Sequence[str] = (),
     keep_empty_docs: bool = False,
+    payload: str = "text",
 ) -> DataFrame:
     """One row per gram OCCURRENCE (multiset, k = 1..ngram_max) with its
     hashed feature bucket ``__b``: (id, *extra, __b).
 
-    ``hash_fn="xxhash64"`` is the hot path — word hashed once, gram hash
-    combines word hashes (``_gram_hashes``), no gram string ever built.
+    ``payload="text"`` grams are lowercased whitespace words of
+    ``text_col``; ``payload="tokens"`` grams come straight off an
+    ``array<int>`` token column (the north-star table shape) — int
+    tokens hash DIRECTLY in xxhash64 mode (no per-element pre-hash; the
+    word pre-hash exists so each text word is hashed once) and join as
+    comma-separated strings in md5 mode.
+
+    ``hash_fn="xxhash64"`` is the hot path — gram hash combines element
+    hashes (``_gram_hashes``), no gram string ever built.
     ``hash_fn="md5"`` buckets ``pmod(int(md5(gram)[:8]), B)`` over REAL
     gram strings — byte-replayable in DuckDB (``('0x' || substr(md5, 1,
     8))::BIGINT % B``), the cross-engine-oracle form. Both are pure
     codegen; bucket ASSIGNMENTS differ between the two (different hash →
-    different collisions), so a model must be scored with the hash it was
-    trained with (``GramClassifier`` carries it)."""
+    different collisions), so a model must be scored with the hash AND
+    payload it was trained with (``GramClassifier``/``DsirModel`` carry
+    them)."""
+    if payload not in ("text", "tokens"):
+        raise ValueError(f"payload must be 'text' or 'tokens', got {payload!r}")
     explode = F.explode_outer if keep_empty_docs else F.explode
     if hash_fn == "xxhash64":
-        whh = df.select(
-            F.col(id_col),
-            *extra_cols,
-            F.transform(words(text_col), lambda w: F.xxhash64(w)).alias("__whh"),
-        )
+        if payload == "text":
+            elems = df.select(
+                F.col(id_col),
+                *extra_cols,
+                F.transform(words(text_col), lambda w: F.xxhash64(w)).alias("__e"),
+            )
+        else:
+            elems = df.select(
+                F.col(id_col), *extra_cols, F.col(text_col).alias("__e")
+            )
         arr = F.concat(
-            *[_gram_hashes(F.col("__whh"), k) for k in range(1, ngram_max + 1)]
+            *[_gram_hashes(F.col("__e"), k) for k in range(1, ngram_max + 1)]
         )
-        ex = whh.select(F.col(id_col), *extra_cols, explode(arr).alias("__gh"))
+        ex = elems.select(F.col(id_col), *extra_cols, explode(arr).alias("__gh"))
         bucket = F.pmod(F.col("__gh"), F.lit(num_buckets)).cast("int")
     elif hash_fn == "md5":
-        arr = F.concat(
-            *[gram_strings(text_col, k) for k in range(1, ngram_max + 1)]
-        )
+        mk = gram_strings if payload == "text" else token_gram_strings
+        arr = F.concat(*[mk(text_col, k) for k in range(1, ngram_max + 1)])
         ex = df.select(F.col(id_col), *extra_cols, explode(arr).alias("__gs"))
         bucket = F.pmod(
             F.conv(F.substring(F.md5("__gs"), 1, 8), 16, 10).cast("long"),
@@ -685,6 +727,7 @@ class GramClassifier:
     num_buckets: int
     ngram_max: int
     hash_fn: str
+    payload: str = "text"
 
 
 def train_gram_classifier(
@@ -697,6 +740,7 @@ def train_gram_classifier(
     ngram_max: int = 2,
     alpha: float = 0.5,
     hash_fn: str = "xxhash64",
+    payload: str = "text",
 ) -> GramClassifier:
     """fastText-style linear quality classifier over hashed bag-of-ngram
     buckets (the learned filter of the CCNet / DCLM curation lineage —
@@ -722,6 +766,7 @@ def train_gram_classifier(
         ngram_max=ngram_max,
         hash_fn=hash_fn,
         extra_cols=(label_col,),
+        payload=payload,
     )
     return _fit_gram_classifier(
         g,
@@ -731,6 +776,7 @@ def train_gram_classifier(
         ngram_max=ngram_max,
         alpha=alpha,
         hash_fn=hash_fn,
+        payload=payload,
     )
 
 
@@ -743,6 +789,7 @@ def _fit_gram_classifier(
     ngram_max: int,
     alpha: float,
     hash_fn: str,
+    payload: str = "text",
 ) -> GramClassifier:
     """Fit the closed-form NB log-odds model from a gram-occurrence table
     ``g`` (id, label, __b) plus the labeled doc table ``lab`` (doc-count
@@ -788,6 +835,7 @@ def _fit_gram_classifier(
         num_buckets=num_buckets,
         ngram_max=ngram_max,
         hash_fn=hash_fn,
+        payload=payload,
     )
 
 
@@ -817,6 +865,7 @@ def score_gram_classifier(
         hash_fn=model.hash_fn,
         extra_cols=keep_cols,
         keep_empty_docs=True,
+        payload=model.payload,
     )
     return _score_gram_rows(g, model, id_col, keep_cols)
 
@@ -869,6 +918,7 @@ def train_score_gram_classifier(
     ngram_max: int = 2,
     alpha: float = 0.5,
     hash_fn: str = "xxhash64",
+    payload: str = "text",
 ) -> tuple[GramClassifier, DataFrame]:
     """Train on the labeled subset AND score every doc over ONE gram
     explode. ``train_gram_classifier`` + ``score_gram_classifier`` on the
@@ -893,6 +943,7 @@ def train_score_gram_classifier(
             hash_fn=hash_fn,
             extra_cols=(label_col, *keep_cols),
             keep_empty_docs=True,
+            payload=payload,
         ),
         "gram_classifier.grams",
     )
@@ -904,6 +955,7 @@ def train_score_gram_classifier(
         ngram_max=ngram_max,
         alpha=alpha,
         hash_fn=hash_fn,
+        payload=payload,
     )
     return model, _score_gram_rows(g, model, id_col, keep_cols)
 
@@ -926,6 +978,7 @@ class DsirModel:
     num_buckets: int
     ngram_max: int
     hash_fn: str
+    payload: str = "text"
 
 
 def _dsir_bucket_counts(
@@ -935,6 +988,7 @@ def _dsir_bucket_counts(
     num_buckets: int,
     ngram_max: int,
     hash_fn: str,
+    payload: str,
 ) -> DataFrame:
     """Gram-occurrence counts per hashed bucket: (``__b``, ``__c``).
     Doc identity is irrelevant for fitting, so a literal id feeds the
@@ -946,6 +1000,7 @@ def _dsir_bucket_counts(
         num_buckets=num_buckets,
         ngram_max=ngram_max,
         hash_fn=hash_fn,
+        payload=payload,
     )
     return g.groupBy("__b").agg(F.count(F.lit(1)).alias("__c"))
 
@@ -959,9 +1014,12 @@ def fit_dsir(
     ngram_max: int = 2,
     alpha: float = 0.5,
     hash_fn: str = "xxhash64",
+    payload: str = "text",
 ) -> DsirModel:
     """Fit DSIR bucket log-ratios from a (small) TARGET corpus and the
-    RAW corpus being selected from.
+    RAW corpus being selected from. ``payload="tokens"`` fits over an
+    ``array<int>`` token column instead of text — DSIR on the
+    north-star pre-tokenized table shape, same arithmetic.
 
     Both sides reduce to smoothed multinomials over hashed n-gram
     buckets: ``p(b) = (c_target[b] + α) / (T_target + αB)`` and likewise
@@ -982,11 +1040,11 @@ def fit_dsir(
         raise ValueError(f"alpha must be > 0 (smoothing), got {alpha}")
     ct = _dsir_bucket_counts(
         target_df, text_col, num_buckets=num_buckets, ngram_max=ngram_max,
-        hash_fn=hash_fn,
+        hash_fn=hash_fn, payload=payload,
     ).withColumnRenamed("__c", "__ct")
     cr = _dsir_bucket_counts(
         raw_df, text_col, num_buckets=num_buckets, ngram_max=ngram_max,
-        hash_fn=hash_fn,
+        hash_fn=hash_fn, payload=payload,
     ).withColumnRenamed("__c", "__cr")
     j = _cache.persist(
         ct.join(cr, "__b", "full_outer").select(
@@ -1018,6 +1076,7 @@ def fit_dsir(
         num_buckets=num_buckets,
         ngram_max=ngram_max,
         hash_fn=hash_fn,
+        payload=payload,
     )
 
 
@@ -1048,6 +1107,7 @@ def dsir_log_weights(
         hash_fn=model.hash_fn,
         extra_cols=keep_cols,
         keep_empty_docs=True,
+        payload=model.payload,
     )
     scored = g.join(
         F.broadcast(model.log_ratio), g["__b"] == F.col("bucket"), "left"

@@ -583,3 +583,123 @@ def test_dsir_weights_broadcast_plan(spark):
     model = fit_dsir(df.limit(3), df, num_buckets=127, hash_fn="xxhash64")
     plan = dsir_log_weights(df, model)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def _py_dsir_tokens(target_rows, raw_rows, num_buckets, ngram_max=2, alpha=0.5):
+    """Python oracle for md5-mode TOKEN-payload DSIR: comma-joined int
+    grams (short-sequence whole-doc rule), md5 bucketing, same smoothed
+    multinomial arithmetic."""
+    import hashlib
+    import math as m
+
+    def grams(toks):
+        toks = toks or []
+        out = []
+        if not toks:
+            return out
+        for k in range(1, ngram_max + 1):
+            for i in range(max(len(toks) - (k - 1), 1)):
+                out.append(",".join(str(t) for t in toks[i : i + k]))
+        return out
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % num_buckets
+
+    ct, cr = {}, {}
+    for _, toks in target_rows:
+        for g in grams(toks):
+            ct[bucket(g)] = ct.get(bucket(g), 0) + 1
+    for _, toks in raw_rows:
+        for g in grams(toks):
+            cr[bucket(g)] = cr.get(bucket(g), 0) + 1
+    denom_t = sum(ct.values()) + alpha * num_buckets
+    denom_r = sum(cr.values()) + alpha * num_buckets
+
+    def w(b):
+        return m.log((ct.get(b, 0) + alpha) / denom_t) - m.log(
+            (cr.get(b, 0) + alpha) / denom_r
+        )
+
+    return {
+        doc_id: (len(grams(toks)), sum(w(bucket(g)) for g in grams(toks)))
+        for doc_id, toks in raw_rows
+    }
+
+
+def test_dsir_tokens_md5_matches_python_oracle(spark):
+    from pandera_unified_validator_spark.operators.text import (
+        dsir_log_weights,
+        fit_dsir,
+    )
+
+    target = [("t1", [7, 8, 9, 7, 8]), ("t2", [7, 9, 9])]
+    raw = [
+        ("r1", [7, 8, 9]),        # target-like token pattern
+        ("r2", [100, 200, 300]),  # off-target ids
+        ("r3", [7]),              # single token: unigram + whole-doc gram
+        ("r4", []),               # empty: log_w == 0
+        ("r5", None),             # NULL: log_w == 0
+    ]
+    tdf = spark.createDataFrame(target, "doc_id string, tokens array<int>")
+    rdf = spark.createDataFrame(raw, "doc_id string, tokens array<int>")
+    model = fit_dsir(
+        tdf, rdf, "tokens", num_buckets=257, hash_fn="md5", payload="tokens"
+    )
+    expected = _py_dsir_tokens(target, raw, 257)
+    got = {
+        r["doc_id"]: r for r in dsir_log_weights(rdf, model, "doc_id", "tokens").collect()
+    }
+    assert set(got) == {r[0] for r in raw}
+    for doc_id, (n_grams, log_w) in expected.items():
+        assert got[doc_id]["n_grams"] == n_grams, doc_id
+        assert abs(got[doc_id]["log_w"] - log_w) < 1e-9, doc_id
+    assert got["r1"]["log_w"] > got["r2"]["log_w"]
+
+
+def test_dsir_tokens_xxhash_mode_ranks_like_md5(spark):
+    """The hot xxhash64 token path must produce the same RANKING as the
+    oracle-replayable md5 path on collision-free bucket counts (hash
+    choice changes bucket collisions, not the likelihood-ratio logic)."""
+    from pandera_unified_validator_spark.operators.text import (
+        dsir_log_weights,
+        fit_dsir,
+    )
+
+    target = [(f"t{i}", [1, 2, 3, 4]) for i in range(3)]
+    raw = [(f"a{i}", [1, 2, 3, 9]) for i in range(5)] + [
+        (f"b{i}", [50, 60, 70, 80]) for i in range(5)
+    ]
+    tdf = spark.createDataFrame(target, "doc_id string, tokens array<int>")
+    rdf = spark.createDataFrame(raw, "doc_id string, tokens array<int>")
+    ranks = {}
+    for hf in ("md5", "xxhash64"):
+        model = fit_dsir(
+            tdf, rdf, "tokens", num_buckets=1 << 18, hash_fn=hf, payload="tokens"
+        )
+        rows = dsir_log_weights(rdf, model, "doc_id", "tokens").collect()
+        ranks[hf] = [r["doc_id"] for r in sorted(rows, key=lambda r: (-r["log_w"], r["doc_id"]))]
+    assert ranks["md5"] == ranks["xxhash64"]
+    assert all(d.startswith("a") for d in ranks["md5"][:5])
+
+
+def test_gram_classifier_token_payload(spark):
+    """payload="tokens" trains/scores the linear filter directly on
+    array<int> sequences — separation on disjoint token vocabularies and
+    a carried payload field so scoring can't mix gram sources."""
+    from pandera_unified_validator_spark.operators.text import (
+        score_gram_classifier,
+        train_gram_classifier,
+    )
+
+    rows = [(f"g{i}", [1, 2, 3, 4, 5], True) for i in range(6)] + [
+        (f"s{i}", [900, 901, 902, 903], False) for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>, label boolean")
+    model = train_gram_classifier(
+        df, "label", text_col="tokens", num_buckets=1 << 14, payload="tokens"
+    )
+    assert model.payload == "tokens"
+    got = {r["doc_id"]: r["prob"] for r in
+           score_gram_classifier(df, model, text_col="tokens").collect()}
+    assert min(got[f"g{i}"] for i in range(6)) > 0.9
+    assert max(got[f"s{i}"] for i in range(6)) < 0.1
