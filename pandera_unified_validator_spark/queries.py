@@ -1523,6 +1523,107 @@ FROM f GROUP BY source ORDER BY source
 """
 
 
+def q_stream_token_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURAL token-sequence validation under REAL Structured
+    Streaming (the graft's two axes composed — pyspark streaming × token
+    payload): deterministic ``array<int>`` sequences replayed through the
+    file source with two injected defect cohorts (every 5th doc gains an
+    out-of-vocab token 99; every 7th doc's ``n_tok`` is off by one), a
+    ``token_sequence_flags`` codegen projection (zero shuffle — exactly
+    what a continuous token-ingest monitor would run) feeding a stateful
+    per-source aggregation in update mode. The final update per source is
+    the complete aggregate. Oracle: the batch equivalent in DuckDB —
+    stream/batch equivalence for the deterministic stateful agg."""
+    from .operators.text import words
+    from .operators.token_ops import token_sequence_flags
+
+    path = f"{sf_dir}/documents.parquet"
+    sch = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(sch).parquet(f"{sf_dir}/documents.*")
+    wl = F.transform(words("text"), F.length)
+    toks = (
+        F.when(F.pmod(F.col("doc_id"), F.lit(5)) == 0, F.concat(wl, F.array(F.lit(99))))
+        .otherwise(wl)
+        .cast("array<int>")
+    )
+    seqs = stream.select(
+        "doc_id",
+        "source",
+        toks.alias("tokens"),
+    ).withColumn(
+        "n_tok",
+        F.size("tokens")
+        + F.when(F.pmod(F.col("doc_id"), F.lit(7)) == 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+    flagged = token_sequence_flags(seqs, vocab_size=15)
+    agg = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_seqs"),
+        F.sum(F.col("len_mismatch").cast("long")).alias("n_len_mismatch"),
+        F.sum(F.col("oov_any").cast("long")).alias("n_oov"),
+        F.sum(F.col("seq_ok").cast("long")).alias("n_ok"),
+        F.sum("tok_len").alias("tokens_sum"),
+    )
+    name = "puv_stream_token_validation"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = (
+        spark.table(name)
+        .groupBy("source")
+        .agg(
+            F.max_by(
+                F.struct("n_seqs", "n_len_mismatch", "n_oov", "n_ok", "tokens_sum"),
+                "n_seqs",
+            ).alias("f")
+        )
+    )
+    return final.select(
+        "source",
+        F.col("f.n_seqs").alias("n_seqs"),
+        F.col("f.n_len_mismatch").alias("n_len_mismatch"),
+        F.col("f.n_oov").alias("n_oov"),
+        F.col("f.n_ok").alias("n_ok"),
+        F.col("f.tokens_sum").cast("long").alias("tokens_sum"),
+    ).orderBy("source")
+
+
+_SQL_STREAM_TOKEN_VALIDATION = r"""
+WITH w AS (
+  SELECT doc_id, source,
+         list_transform(
+           list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''),
+           x -> length(x)) AS wl
+  FROM documents
+),
+t AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 5 = 0 THEN list_concat(wl, [99]) ELSE wl END AS tk,
+         len(CASE WHEN doc_id % 5 = 0 THEN list_concat(wl, [99]) ELSE wl END)
+           + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS n_tok
+  FROM w
+),
+f AS (
+  SELECT source,
+         len(tk) AS tok_len,
+         (len(tk) <> n_tok) AS len_mismatch,
+         coalesce(list_min(tk) < 0 OR list_max(tk) >= 15, FALSE) AS oov_any
+  FROM t
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_seqs,
+       CAST(sum(CASE WHEN len_mismatch THEN 1 ELSE 0 END) AS BIGINT) AS n_len_mismatch,
+       CAST(sum(CASE WHEN oov_any THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(sum(CASE WHEN NOT len_mismatch AND NOT oov_any THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+       CAST(sum(tok_len) AS BIGINT) AS tokens_sum
+FROM f GROUP BY source ORDER BY source
+"""
+
+
 def q_token_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination on PRE-TOKENIZED sequences under the driver gate
     (the north-star table shape): deterministic token arrays are derived
@@ -3189,6 +3290,12 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # measurement); this is the matching ExactSubstr edit step
     "dedup_token_spans": (q_dedup_token_spans, _SQL_DEDUP_TOKEN_SPANS),
     "dsir_tokens_select": (q_dsir_tokens_select, _SQL_DSIR_TOKENS_SELECT),
+    # streaming × token payload (family siblings in-window:
+    # stream_windowed_validation / stream_text_quality / token_seq_flags)
+    "stream_token_validation": (
+        q_stream_token_validation,
+        _SQL_STREAM_TOKEN_VALIDATION,
+    ),
     "embedding_topk": (q_embedding_topk, _SQL_EMBEDDING_TOPK),
     "stratified_sample": (q_stratified_sample, _stratified_sample_oracle_sql()),
     "contamination_flags": (q_contamination_flags, _SQL_CONTAMINATION_FLAGS),
