@@ -2281,6 +2281,124 @@ LIMIT 100
 """
 
 
+def q_quality_classifier_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned hashed-ngram filter on the TOKEN payload under the
+    driver gate: the synthetic ``array<int>`` table (word lengths +
+    boilerplate on every 3rd doc), trained closed-form on the
+    ``doc_id % 3 > 0`` split labeled ``lang = 'en'``, scored everywhere —
+    one persisted gram explode, md5 comma-joined int grams (B=4096,
+    α=0.5). Oracle: DuckDB replays gram building, bucketing, smoothing,
+    OOV default, mean pooling, and the sigmoid over the int grams."""
+    from .operators.text import train_score_gram_classifier, words
+
+    d = _t(spark, sf_dir, "documents")
+    wl = F.transform(words("text"), F.length)
+    boiler = F.array(*[F.lit(i) for i in (3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8)])
+    toks = (
+        F.when(F.pmod(F.col("doc_id"), F.lit(3)) == 0, F.concat(wl, boiler))
+        .otherwise(wl)
+        .cast("array<int>")
+    )
+    labeled = d.select(
+        "doc_id",
+        toks.alias("tokens"),
+        "source",
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(3)) > 0, F.col("lang") == "en"
+        ).alias("is_en"),
+    )
+    _, scored = train_score_gram_classifier(
+        labeled,
+        "is_en",
+        text_col="tokens",
+        keep_cols=("source",),
+        num_buckets=4096,
+        ngram_max=2,
+        alpha=0.5,
+        hash_fn="md5",
+        payload="tokens",
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("prob") >= 0.5).cast("long")).alias("n_kept"),
+            F.round(F.avg("logit"), 4).alias("avg_logit"),
+            F.round(F.avg("prob"), 4).alias("avg_prob"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_QUALITY_CLASSIFIER_TOKENS = r"""
+WITH w AS (
+  SELECT doc_id, source, lang,
+         list_transform(
+           list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''),
+           x -> length(x)) AS wl
+  FROM documents
+),
+t AS (
+  SELECT doc_id, source, lang,
+         CASE WHEN doc_id % 3 = 0
+              THEN list_concat(wl, [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8])
+              ELSE wl END AS tk
+  FROM w
+),
+g1 AS (SELECT doc_id, CAST(u.tok AS VARCHAR) AS g FROM t, unnest(tk) AS u(tok)
+       WHERE len(tk) > 0),
+g2 AS (SELECT doc_id, array_to_string(list_slice(tk, i, i + 1), ',') AS g
+       FROM t, unnest(generate_series(1, greatest(len(tk) - 1, 1))) AS u(i)
+       WHERE len(tk) > 0),
+grams AS MATERIALIZED (
+  SELECT doc_id,
+         ('0x' || substr(md5(g), 1, 8))::BIGINT % 4096 AS b
+  FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2)
+),
+train AS (SELECT doc_id, lang = 'en' AS is_en FROM t WHERE doc_id % 3 > 0),
+cnt AS (
+  SELECT b,
+         sum(CASE WHEN tr.is_en THEN 1 ELSE 0 END) AS cp,
+         sum(CASE WHEN tr.is_en THEN 0 ELSE 1 END) AS cn
+  FROM grams g JOIN train tr ON g.doc_id = tr.doc_id
+  GROUP BY b
+),
+tot AS (
+  SELECT sum(cp) + 0.5 * 4096 AS denom_p, sum(cn) + 0.5 * 4096 AS denom_n
+  FROM cnt
+),
+prior AS (
+  SELECT ln(sum(CASE WHEN is_en THEN 1 ELSE 0 END) * 1.0
+            / sum(CASE WHEN is_en THEN 0 ELSE 1 END)) AS bias
+  FROM train
+),
+wt AS (
+  SELECT b, ln((cp + 0.5) / denom_p) - ln((cn + 0.5) / denom_n) AS wgt
+  FROM cnt, tot
+),
+doc AS (
+  SELECT g.doc_id,
+         avg(coalesce(wt.wgt,
+                      ln(0.5 / (SELECT denom_p FROM tot))
+                      - ln(0.5 / (SELECT denom_n FROM tot)))) AS mw
+  FROM grams g LEFT JOIN wt ON g.b = wt.b
+  GROUP BY g.doc_id
+),
+scored AS (
+  SELECT t.doc_id, t.source,
+         doc.mw + (SELECT bias FROM prior) AS logit,
+         1.0 / (1.0 + exp(-(doc.mw + (SELECT bias FROM prior)))) AS prob
+  FROM t LEFT JOIN doc ON t.doc_id = doc.doc_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN prob >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(avg(logit), 4) AS avg_logit,
+       round(avg(prob), 4) AS avg_prob
+FROM scored GROUP BY source ORDER BY source
+"""
+
+
 def q_components_deep_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deep-topology components under the driver gate: consecutive
     doc_ids WITHIN each source form one path graph per source — component
@@ -3295,6 +3413,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "stream_token_validation": (
         q_stream_token_validation,
         _SQL_STREAM_TOKEN_VALIDATION,
+    ),
+    "quality_classifier_tokens": (
+        q_quality_classifier_tokens,
+        _SQL_QUALITY_CLASSIFIER_TOKENS,
     ),
     "embedding_topk": (q_embedding_topk, _SQL_EMBEDDING_TOPK),
     "stratified_sample": (q_stratified_sample, _stratified_sample_oracle_sql()),
