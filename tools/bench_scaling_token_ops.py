@@ -1,0 +1,190 @@
+"""N vs 4N executor scaling for a CORPUS/token operator (supplementary to
+the north-rule validator evidence in tools/bench_scaling.py).
+
+Measured job: ``duplicated_ngram_coverage`` (Lee et al. dup-span fraction)
+over the shared parquet token table — the token axis's shuffle-heavy shape
+(gram explode → distinct (gram, doc) → dup-gram aggregate → position join →
+per-doc window + sum). Headroom protocol: 3-core executors at 2 vs 8
+(6 vs 24 threads on the 32-core host), ParallelGC pinned, best-of-N after
+warmups, fresh operator_cache_scope per run so the registry-persisted gram
+table is released and every measured run recomputes the full pipeline.
+
+  python tools/bench_scaling_token_ops.py               # orchestrates daemon
+  python tools/bench_scaling_token_ops.py --child N     # internal
+
+Writes BENCH/scaling_token_ops_3c.json; append the summary to
+BENCH/BASELINE.md by hand (the renderer in bench_scaling.py only knows the
+validator caches).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_ROWS = int(os.environ.get("PUV_TOKSCALE_ROWS", "400000"))
+N_PARTITIONS = int(os.environ.get("PUV_TOKSCALE_PARTITIONS", "96"))
+WARMUPS = int(os.environ.get("PUV_TOKSCALE_WARMUPS", "2"))
+RUNS = int(os.environ.get("PUV_TOKSCALE_RUNS", "3"))
+# This job is shuffle-heavy (explode -> distinct -> join), unlike the
+# validator scaling job: on this sandbox EVERY executor's shuffle files and
+# cache spill land on the ONE root disk (90% full), so 8 concurrent writers
+# throttle each other — an artifact a real cluster doesn't have (per-node
+# disks). Default the block-manager dirs to tmpfs to measure the engine,
+# not the sandbox's disk; set PUV_TOKSCALE_LOCAL_DIR=/tmp to reproduce the
+# disk-bound reading.
+LOCAL_DIR = os.environ.get("PUV_TOKSCALE_LOCAL_DIR", "/dev/shm/puv-tokscale-local")
+EXEC_CORES = 3
+EXEC_MEMORY = "4608m"
+LEVELS = (2, 8)
+STANDALONE_HOME = os.environ.get(
+    "SPARK_STANDALONE_HOME", "/opt/spark-4.1.2-bin-hadoop3"
+)
+MASTER_URL = "spark://127.0.0.1:7077"
+OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "BENCH",
+    "scaling_token_ops_3c.json",
+)
+
+
+def _measure(spark) -> dict:
+    from pyspark.sql import functions as F
+
+    from pandera_unified_validator_spark.operators.token_ops import (
+        duplicated_ngram_coverage,
+    )
+    from pandera_unified_validator_spark.tokens import token_table
+    from pandera_unified_validator_spark.utils.cache import operator_cache_scope
+
+    path = f"/tmp/puv_tokscale_input_{N_ROWS}"
+    if not os.path.exists(path):
+        token_table(spark, N_ROWS, dirty=False, num_partitions=N_PARTITIONS).write.mode(
+            "overwrite"
+        ).parquet(path)
+    df = spark.read.parquet(path).select("doc_id", "tokens", "n_tok")
+    n_tokens = df.selectExpr("sum(n_tok) s").collect()[0]["s"]
+
+    def once():
+        with operator_cache_scope():
+            cov = duplicated_ngram_coverage(
+                df, "doc_id", "tokens", n=8, min_docs=2, n_tok_col="n_tok"
+            )
+            return cov.agg(
+                F.sum("dup_tokens").alias("d"), F.sum("tok_len").alias("t")
+            ).collect()[0]
+
+    for _ in range(WARMUPS):
+        once()
+    times = []
+    for _ in range(RUNS):
+        t0 = time.time()
+        r = once()
+        times.append(time.time() - t0)
+    sec = min(times)
+    return {
+        "rows": N_ROWS,
+        "tokens": int(n_tokens),
+        "dup_tokens": int(r["d"]),
+        "sec": round(sec, 3),
+        "all_sec": [round(t, 2) for t in times],
+        "tokens_per_sec": round(n_tokens / sec, 1),
+    }
+
+
+def child(n_exec: int) -> None:
+    from pandera_unified_validator_spark.session import get_spark
+
+    spark = get_spark(
+        f"tokscale-{n_exec}x{EXEC_CORES}",
+        master=MASTER_URL,
+        shuffle_partitions=N_PARTITIONS,
+        extra_conf={
+            "spark.driver.memory": "12g",
+            "spark.cores.max": str(n_exec * EXEC_CORES),
+            "spark.executor.cores": str(EXEC_CORES),
+            "spark.executor.memory": EXEC_MEMORY,
+            "spark.pyspark.python": sys.executable,
+            "spark.executorEnv.PYTHONPATH": os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__))
+            ),
+            "spark.executor.extraJavaOptions": (
+                f"-XX:+UseParallelGC -XX:ParallelGCThreads={EXEC_CORES}"
+            ),
+            "spark.sql.files.maxPartitionBytes": str(24 * 1024 * 1024),
+            "spark.local.dir": LOCAL_DIR,
+        },
+    )
+    print(json.dumps({"n_exec": n_exec, "cores_each": EXEC_CORES, **_measure(spark)}))
+    spark.stop()
+
+
+def _daemon(action: str, script: str, *args: str) -> None:
+    env = {**os.environ, "SPARK_HOME": STANDALONE_HOME}
+    subprocess.run(
+        [os.path.join(STANDALONE_HOME, "sbin", f"{action}-{script}.sh"), *args],
+        env=env, check=(action == "start"), capture_output=True, text=True,
+    )
+
+
+def main() -> None:
+    if len(sys.argv) > 2 and sys.argv[1] == "--child":
+        child(int(sys.argv[2]))
+        return
+    total = max(LEVELS) * EXEC_CORES
+    _daemon("stop", "worker")
+    _daemon("stop", "master")
+    time.sleep(2)
+    _daemon("start", "master", "-h", "127.0.0.1", "-p", "7077")
+    time.sleep(3)
+    _daemon("start", "worker", MASTER_URL, "-c", str(total), "-m", "100g")
+    time.sleep(3)
+    results = {}
+    try:
+        for n in LEVELS:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child", str(n)],
+                capture_output=True, text=True, timeout=3600,
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            )
+            lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+            if not lines:
+                print(out.stdout[-2000:], out.stderr[-2000:], sep="\n")
+                raise SystemExit(f"child {n} produced no result")
+            print(lines[-1])
+            results[n] = json.loads(lines[-1])
+    finally:
+        _daemon("stop", "worker")
+        _daemon("stop", "master")
+    summary = {}
+    for n in LEVELS:
+        if 4 * n in results:
+            sp = results[4 * n]["tokens_per_sec"] / results[n]["tokens_per_sec"]
+            summary[f"{n}->{4 * n}"] = {
+                "throughput_N": results[n]["tokens_per_sec"],
+                "throughput_4N": results[4 * n]["tokens_per_sec"],
+                "speedup": round(sp, 3),
+                "scaling_efficiency": round(sp / 4, 3),
+            }
+    rec = {
+        "operator": "duplicated_ngram_coverage(n=8, min_docs=2)",
+        "exec_cores": EXEC_CORES,
+        "exec_memory": EXEC_MEMORY,
+        "local_dir": LOCAL_DIR,
+        "rows": N_ROWS,
+        "levels": {str(k): v for k, v in results.items()},
+        "summary": summary,
+    }
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    with open(OUT, "w") as f:
+        json.dump(rec, f, indent=2)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
