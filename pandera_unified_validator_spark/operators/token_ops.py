@@ -206,8 +206,14 @@ def duplicated_ngram_coverage(
         ),
         "duplicated_ngram_coverage.grams",
     )
+    # the dup-gram set only needs the NUMBER of distinct documents per
+    # gram, never the ids — hash the id to a long before the distinct so
+    # the corpus-sized shuffle carries (long, long) rows instead of
+    # (long, string): ~half the bytes through the operator's dominant
+    # exchange. A 2^-64 id collision could undercount one gram's doc
+    # count — the same equality contract gram identity itself carries.
     dup_grams = (
-        grams.select("__g", id_col)
+        grams.select("__g", F.xxhash64(F.col(id_col)).alias("__dh"))
         .distinct()
         .groupBy("__g")
         .agg(F.count(F.lit(1)).alias("__nd"))

@@ -29,7 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N_ROWS = int(os.environ.get("PUV_TOKSCALE_ROWS", "400000"))
 N_PARTITIONS = int(os.environ.get("PUV_TOKSCALE_PARTITIONS", "96"))
-WARMUPS = int(os.environ.get("PUV_TOKSCALE_WARMUPS", "2"))
+WARMUPS = int(os.environ.get("PUV_TOKSCALE_WARMUPS", "4"))
 RUNS = int(os.environ.get("PUV_TOKSCALE_RUNS", "3"))
 # This job is shuffle-heavy (explode -> distinct -> join), unlike the
 # validator scaling job: on this sandbox EVERY executor's shuffle files and
@@ -79,13 +79,27 @@ def _measure(spark) -> dict:
                 F.sum("dup_tokens").alias("d"), F.sum("tok_len").alias("t")
             ).collect()[0]
 
+    def reclaim_shuffles():
+        # shuffle files outlive the run until the driver's ContextCleaner
+        # GCs the shuffle dependencies — 8 back-to-back runs overflowed the
+        # tmpfs local dir (executors died with ENOSPC). Drop the py4j refs
+        # and force a driver full GC between runs so each run starts with
+        # the previous one's shuffle files deleted.
+        import gc as _gc
+
+        _gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(2)
+
     for _ in range(WARMUPS):
         once()
+        reclaim_shuffles()
     times = []
     for _ in range(RUNS):
         t0 = time.time()
         r = once()
         times.append(time.time() - t0)
+        reclaim_shuffles()
     sec = min(times)
     return {
         "rows": N_ROWS,
@@ -125,7 +139,16 @@ def child(n_exec: int) -> None:
 
 
 def _daemon(action: str, script: str, *args: str) -> None:
-    env = {**os.environ, "SPARK_HOME": STANDALONE_HOME}
+    # SPARK_LOCAL_DIRS on the WORKER is what executors actually use for
+    # shuffle files + cache spill (in standalone mode it OVERRIDES the
+    # app's spark.local.dir, which only moves the driver's block manager)
+    # — without it every executor writes to /tmp on the 90%-full root
+    # disk, and 8 back-to-back runs ENOSPC'd the box.
+    env = {
+        **os.environ,
+        "SPARK_HOME": STANDALONE_HOME,
+        "SPARK_LOCAL_DIRS": LOCAL_DIR,
+    }
     subprocess.run(
         [os.path.join(STANDALONE_HOME, "sbin", f"{action}-{script}.sh"), *args],
         env=env, check=(action == "start"), capture_output=True, text=True,
