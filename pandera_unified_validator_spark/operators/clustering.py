@@ -226,7 +226,7 @@ def semdedup(
     set inspectable."""
     from .dedup import _emit_cosine_pairs, connected_components
 
-    _, assigned, n_rows = _kmeans(df, id_col, vec_col, k=k, iters=iters, seed=seed)
+    cents, assigned, n_rows = _kmeans(df, id_col, vec_col, k=k, iters=iters, seed=seed)
     # persisted: read by hot-cluster detection, the pair shuffle, and the
     # keep-rule join — the materialize-once a 10^12-row run would do
     assigned = _cache.persist(
@@ -261,8 +261,9 @@ def semdedup(
                 len(hot),
                 cap,
             )
-            first = assigned.select("v").first()
-            dim = len(first["v"]) if first is not None else 1
+            # the centroid matrix is already on the driver — its width
+            # is the embedding dim, no extra job needed
+            dim = int(cents.shape[1]) if cents.size else 1
             sig = hyperplane_signature_udf(dim, lsh_split_bits, seed)
             k2 = F.when(F.col("cluster").isin(hot), sig(F.col("v"))).otherwise(
                 F.lit(0).cast("long")

@@ -611,7 +611,9 @@ def gram_strings(text: Column | str, k: int = 1) -> Column:
     ws = words(text)
     n = F.size(ws)
     if k == 1:
-        return ws
+        # NULL text -> empty array, matching the k>=2 when-chain below and
+        # token_gram_strings' documented contract (a raw `ws` returns NULL)
+        return F.coalesce(ws, F.array().cast("array<string>"))
     cnt = F.greatest(n - (k - 1), F.lit(0))
     acc = F.slice(ws, 1, cnt)
     for j in range(1, k):

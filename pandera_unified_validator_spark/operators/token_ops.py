@@ -88,6 +88,10 @@ def token_sequence_flags(
     * ``tok_len``       — ``size(tokens)`` (NULL array → 0, flagged);
     * ``tokens_null``   — the array itself is NULL;
     * ``len_mismatch``  — ``size(tokens) != n_tok`` (if ``n_tok_col``);
+    * ``null_elem``     — any NULL element inside the array (invisible
+      to every other flag: ``size`` counts NULLs, min/max and lambda
+      predicates skip them, gram hashing silently drops them), decided
+      by ``size(array_compact(tokens)) < size(tokens)`` (codegen);
     * ``oov_any``       — any element outside ``[0, vocab_size)``,
       decided by ``array_min``/``array_max`` (codegen; CLAUDE.md: 3.6×
       faster than an interpreted ``forall``);
@@ -114,6 +118,14 @@ def token_sequence_flags(
         flags["len_mismatch"] = F.coalesce(
             tok_len != F.col(n_tok_col), F.lit(True)
         ) & ~is_null
+
+    # interior NULL elements are invisible to every other flag (size()
+    # counts them, array_min/max and the filter predicate skip them, and
+    # downstream gram hashing silently drops them) — detect via the
+    # codegen array_compact length, not an interpreted exists() lambda
+    flags["null_elem"] = F.coalesce(
+        F.size(F.array_compact(toks)) < tok_len, F.lit(False)
+    )
 
     lo, hi = F.array_min(toks), F.array_max(toks)
     flags["oov_any"] = F.coalesce((lo < 0) | (hi >= vocab_size), F.lit(False))
@@ -395,7 +407,9 @@ def pack_sequences(
     Each sequence is hashed to one of ``shards`` independent shards
     (md5 content hash — deterministic under any partitioning, and
     replayable by any SQL engine), ordered within its shard by
-    ``order_col`` (default ``id_col``), and packed next-fit: a sequence
+    ``(order_col, id_col)`` (default ``id_col``; the id tie-break keeps
+    the layout partitioning-invariant when ``order_col`` has duplicate
+    values), and packed next-fit: a sequence
     joins the current bin if it fits, else opens a new bin. A sequence
     longer than ``capacity`` gets a bin of its own and is flagged
     ``oversize`` (truncation policy is the caller's).
@@ -434,7 +448,13 @@ def pack_sequences(
         import numpy as np
         import pandas as pd
 
-        pdf = pdf.sort_values("__ord", kind="mergesort").reset_index(drop=True)
+        # tie-break equal __ord values by id: a stable sort alone would
+        # inherit the Arrow batch's row order, which depends on upstream
+        # partitioning — breaking the documented "deterministic under any
+        # partitioning" contract whenever order_col has duplicates
+        pdf = pdf.sort_values(["__ord", "__id"], kind="mergesort").reset_index(
+            drop=True
+        )
         L = pdf["__n"].to_numpy(dtype="int64")
         C = np.cumsum(L)
         bins = np.empty(len(L), dtype="int64")

@@ -1095,8 +1095,18 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x, i: x + (i % 7 - 3).cast("double") * F.lit(0.002),
         ).alias("embedding"),
     )
+    # max_cluster_rows=None: the DuckDB oracle replays EXHAUSTIVE
+    # within-cluster pairs, so the hot-cluster LSH split (which drops
+    # cross-sub-cluster pairs by design) must stay disarmed here — at
+    # sf0.1 the 2x-union corpus sits just under the 4096 default, and a
+    # larger sf would otherwise silently diverge from the oracle
     out = semdedup(
-        base.unionAll(pert), k=8, iters=1, threshold=0.99, seed=42
+        base.unionAll(pert),
+        k=8,
+        iters=1,
+        threshold=0.99,
+        seed=42,
+        max_cluster_rows=None,
     )
     return (
         out.groupBy(F.col("semdedup_cluster").alias("cluster"))
@@ -2902,8 +2912,9 @@ def q_token_seq_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structural validation of pre-tokenized sequences under the driver
     gate: deterministic token arrays (clamped word lengths framed by
     BOS=61/EOS=62, vocab 64) with injected violations by ``doc_id mod
-    23`` — missing BOS, interior EOS, an OOV id, a wrong ``n_tok``, and
-    an absurd ``n_tok`` for the too-long flag. Oracle: DuckDB rebuilds
+    23`` — missing BOS, interior EOS, an OOV id, a wrong ``n_tok``, an
+    absurd ``n_tok`` for the too-long flag, and an interior NULL element
+    (the defect every other flag is blind to). Oracle: DuckDB rebuilds
     the identical arrays with list functions and replays every flag
     (``list_min``/``list_max`` for the vocab range mirrors the codegen
     ``array_min``/``array_max`` fast path)."""
@@ -2918,6 +2929,15 @@ def q_token_seq_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(m == 0, F.concat(wl, F.array(F.lit(62))))
         .when(m == 1, F.concat(F.array(F.lit(61), F.lit(62)), wl, F.array(F.lit(62))))
         .when(m == 2, F.concat(F.array(F.lit(61)), wl, F.array(F.lit(99), F.lit(62))))
+        .when(
+            m == 5,
+            F.concat(
+                F.array(F.lit(61)),
+                F.array(F.lit(None).cast("int")),
+                wl,
+                F.array(F.lit(62)),
+            ),
+        )
         .otherwise(framed)
         .cast("array<int>")
     )
@@ -2935,6 +2955,7 @@ def q_token_seq_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col(c).cast("int")).alias(f"n_{c}")
         for c in (
             "len_mismatch",
+            "null_elem",
             "oov_any",
             "bos_bad",
             "eos_bad",
@@ -2960,6 +2981,8 @@ t AS (
            WHEN 0 THEN list_concat(wl, [62])
            WHEN 1 THEN list_concat([61, 62], list_concat(wl, [62]))
            WHEN 2 THEN list_concat([61], list_concat(wl, [99, 62]))
+           WHEN 5 THEN list_concat([61, CAST(NULL AS INTEGER)],
+                                   list_concat(wl, [62]))
            ELSE list_concat([61], list_concat(wl, [62]))
          END AS tk
   FROM w
@@ -2976,6 +2999,7 @@ t2 AS (
 f AS (
   SELECT source,
          (len(tk) <> n_tok)                                  AS len_mismatch,
+         (len(list_filter(tk, x -> x IS NOT NULL)) < len(tk)) AS null_elem,
          (list_min(tk) < 0 OR list_max(tk) >= 64)            AS oov_any,
          (tk[1] IS DISTINCT FROM 61)                         AS bos_bad,
          (tk[-1] IS DISTINCT FROM 62)                        AS eos_bad,
@@ -2987,13 +3011,15 @@ f AS (
 SELECT source,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(CASE WHEN len_mismatch THEN 1 ELSE 0 END) AS BIGINT) AS n_len_mismatch,
+       CAST(sum(CASE WHEN null_elem THEN 1 ELSE 0 END) AS BIGINT) AS n_null_elem,
        CAST(sum(CASE WHEN oov_any THEN 1 ELSE 0 END) AS BIGINT) AS n_oov_any,
        CAST(sum(CASE WHEN bos_bad THEN 1 ELSE 0 END) AS BIGINT) AS n_bos_bad,
        CAST(sum(CASE WHEN eos_bad THEN 1 ELSE 0 END) AS BIGINT) AS n_eos_bad,
        CAST(sum(CASE WHEN interior_eos THEN 1 ELSE 0 END) AS BIGINT) AS n_interior_eos,
        CAST(sum(CASE WHEN too_long THEN 1 ELSE 0 END) AS BIGINT) AS n_too_long,
-       CAST(sum(CASE WHEN NOT (len_mismatch OR oov_any OR bos_bad OR eos_bad
-                               OR interior_eos OR too_long) THEN 1 ELSE 0 END)
+       CAST(sum(CASE WHEN NOT (len_mismatch OR null_elem OR oov_any OR bos_bad
+                               OR eos_bad OR interior_eos OR too_long)
+                 THEN 1 ELSE 0 END)
             AS BIGINT) AS n_seq_ok
 FROM f GROUP BY source ORDER BY source
 """

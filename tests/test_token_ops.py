@@ -30,6 +30,7 @@ def test_token_sequence_flags(spark):
         ("interior", [1, 2, 5, 2], 4),
         ("long", [1, 5, 5, 5, 5, 5, 2], 7),
         ("null", None, 3),
+        ("nullelem", [1, None, 5, 2], 4),
         ("empty", [], 0),
     ]
     df = spark.createDataFrame(rows, "doc string, tokens array<int>, n_tok int")
@@ -51,6 +52,12 @@ def test_token_sequence_flags(spark):
     assert got["eos"]["eos_bad"] and not got["eos"]["bos_bad"]
     assert got["interior"]["interior_eos"] and got["interior"]["seq_ok"] is False
     assert got["long"]["too_long"]
+    # interior NULL element: every other flag is blind to it (size counts
+    # it, min/max and the filter predicate skip it) — null_elem must fire
+    assert got["nullelem"]["null_elem"] and not got["nullelem"]["seq_ok"]
+    assert not got["nullelem"]["len_mismatch"] and not got["nullelem"]["oov_any"]
+    assert got["nullelem"]["oov_count"] == 0  # documents the blindness
+    assert not got["ok"]["null_elem"] and not got["oov"]["null_elem"]
     # NULL array: flagged null, structural checks fire, nothing is NULL
     assert got["null"]["tokens_null"] and got["null"]["tok_len"] == 0
     flag_cols = [c for c in got["null"] if c not in ("doc", "tokens", "n_tok")]
@@ -198,6 +205,27 @@ def test_pack_sequences(spark):
         shards=8,
     ).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_pack_sequences_order_tie_break(spark):
+    # duplicate order_col values: the id tie-break must keep the layout
+    # identical across partitionings (a stable sort alone inherits the
+    # Arrow batch row order, which the shuffle does not fix)
+    def build(parts):
+        return (
+            spark.range(300)
+            .select(
+                F.format_string("doc-%04d", F.col("id")).alias("doc_id"),
+                (F.pmod(F.col("id") * 17 + 3, F.lit(90)) + 1).cast("int").alias("n_tok"),
+                F.pmod(F.col("id"), F.lit(4)).cast("int").alias("ts"),  # many ties
+            )
+            .repartition(parts)
+        )
+
+    a = pack_sequences(build(3), capacity=256, shards=4, order_col="ts").collect()
+    b = pack_sequences(build(17), capacity=256, shards=4, order_col="ts").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    _check_packing(a, 256)
 
 
 def test_pack_sequences_oversize_and_nulls(spark):

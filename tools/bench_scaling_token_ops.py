@@ -54,6 +54,8 @@ OUT = os.path.join(
 
 
 def _measure(spark) -> dict:
+    if RUNS < 1:
+        raise SystemExit("PUV_TOKSCALE_RUNS must be >= 1")
     from pyspark.sql import functions as F
 
     from pandera_unified_validator_spark.operators.token_ops import (
