@@ -3343,6 +3343,53 @@ GROUP BY t.source ORDER BY t.source
 """
 
 
+def q_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level BPE bridge (text → ``array<int>`` → text) under the
+    driver gate: a 200-merge model trained on the documents corpus
+    (distributed word-frequency aggregate + driver merge loop over the
+    bounded table), applied and decoded through the Arrow-batched UDFs.
+    The value-bearing invariant is LOSSLESSNESS — per doc,
+    ``decode(encode(normalize(text))) == normalize(text)`` exactly, and
+    every emitted id lies inside the learned vocab. The oracle asserts
+    both flags TRUE for every doc and recomputes the normalized length
+    in DuckDB (same split/lower/join chain as token_seq_flags), so any
+    encode/decode asymmetry, merge-rank disagreement between train and
+    apply, or id-space leak fails the gate row-for-row. (The token ids
+    themselves are model internals — the lossless round-trip plus the
+    closed-form merge-order unit test pin them.)"""
+    from .operators.bpe import apply_bpe, decode_bpe, train_bpe
+    from .operators.text import words
+
+    d = _t(spark, sf_dir, "documents")
+    model = train_bpe(d, "text", num_merges=200, vocab_words=30000)
+    base = d.select(
+        "doc_id", F.array_join(words("text"), " ").alias("__norm")
+    )
+    enc = apply_bpe(base, model, "__norm", "tokens", normalize=False)
+    dec = decode_bpe(enc, model, "tokens", "__dec")
+    return dec.select(
+        "doc_id",
+        F.col("__dec").eqNullSafe(F.col("__norm")).alias("roundtrip_ok"),
+        F.coalesce(
+            (F.array_min("tokens") >= 0)
+            & (F.array_max("tokens") < model.vocab_size),
+            F.lit(True),
+        ).alias("ids_ok"),
+        F.length("__norm").cast("long").alias("n_norm_chars"),
+    )
+
+
+_SQL_BPE_ROUNDTRIP = r"""
+SELECT doc_id,
+       TRUE AS roundtrip_ok,
+       TRUE AS ids_ok,
+       CAST(length(array_to_string(
+            list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                        x -> x <> ''), ' ')) AS BIGINT) AS n_norm_chars
+FROM documents
+"""
+
+
 # Ordering contract (round 6): the driver's CORRECTNESS file records the
 # FIRST 50 entries of this dict (insertion order). Every SURVEY §2-mapped
 # oracle MUST therefore sit in the first 50; redundant-coverage extras
@@ -3455,6 +3502,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "topk_per_group": (q_topk_per_group, _SQL_TOPK_PER_GROUP),
     "chi_square_documents": (q_chi_square_documents, _SQL_CHI_SQUARE_DOCUMENTS),
     "ks_documents_nchars": (q_ks_documents_nchars, _SQL_KS_DOCUMENTS_NCHARS),
+    "bpe_roundtrip": (q_bpe_roundtrip, _SQL_BPE_ROUNDTRIP),
 }
 
 
