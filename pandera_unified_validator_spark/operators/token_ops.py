@@ -60,6 +60,7 @@ __all__ = [
     "duplicated_ngram_coverage",
     "remove_duplicated_spans",
     "pack_sequences",
+    "materialize_packed_bins",
     "token_budget_sample",
     "mixture_rates",
 ]
@@ -523,6 +524,86 @@ def mixture_rates(
         for s, share in shares.items()
         if totals.get(s)
     }
+
+
+def materialize_packed_bins(
+    df: DataFrame,
+    packed: DataFrame,
+    *,
+    capacity: int,
+    pad_id: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Materialize :func:`pack_sequences`' layout into training rows:
+    one row per ``(shard, bin)`` with the member token arrays
+    concatenated in offset order and padded to exactly ``capacity``
+    with ``pad_id``. Only a single-doc ``oversize`` bin can exceed the
+    capacity — it is truncated to ``capacity`` and flagged
+    (``pack_sequences`` leaves the truncation policy to this step).
+
+    Returns ``(shard, bin, tokens_col[capacity], n_seqs, fill,
+    doc_ids, seq_lens, truncated)`` — ``doc_ids``/``seq_lens`` carry
+    the document boundaries an attention mask / sequence-id tensor
+    needs (offsets are their exclusive prefix sums, not re-emitted);
+    ``fill`` is the pre-pad token count (uncapped, so a truncated bin
+    reports what it lost).
+
+    Shape at scale: the layout join and the ``(shard, bin)`` groupBy
+    are the ONE shuffle token arrays cross, and per-group state is
+    bounded by ``capacity`` tokens (+ the one oversize doc) — no bin
+    can blow a task. The in-row concat/pad expressions run once per
+    BIN, not per token (interpreted HOFs off the hot path — the
+    ``remove_duplicated_spans`` rebuild precedent). A NULL token array
+    poisons its bin's ``tokens`` to NULL rather than silently emitting
+    a wrong row — validate with :func:`token_sequence_flags` first.
+    """
+    j = packed.select(id_col, "shard", "bin", "offset").join(
+        df.select(id_col, tokens_col), id_col
+    )
+    members = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col("offset").alias("o"),
+                F.col(id_col).alias("i"),
+                F.col(tokens_col).alias("t"),
+            )
+        )
+    )
+    # materialize the concat as a REAL projection column before slicing /
+    # sizing it (SPARK-36718: multiply-referenced non-cheap aliases would
+    # otherwise inline the whole flatten per reference)
+    withm = (
+        j.groupBy("shard", "bin")
+        .agg(members.alias("__m"), F.count(F.lit(1)).alias("n_seqs"))
+        .select(
+            "shard",
+            "bin",
+            "n_seqs",
+            F.transform(F.col("__m"), lambda m: m["i"]).alias("doc_ids"),
+            F.transform(F.col("__m"), lambda m: F.size(m["t"])).alias("seq_lens"),
+            F.flatten(F.transform(F.col("__m"), lambda m: m["t"])).alias("__body"),
+        )
+    )
+    fill = F.size(F.col("__body"))
+    elem_type = df.schema[tokens_col].dataType.elementType.simpleString()
+    padded = F.concat(
+        F.slice(F.col("__body"), 1, capacity),
+        F.array_repeat(
+            F.lit(pad_id).cast(elem_type),
+            F.greatest(F.lit(capacity) - fill, F.lit(0)),
+        ),
+    )
+    return withm.select(
+        "shard",
+        "bin",
+        padded.alias(tokens_col),
+        "n_seqs",
+        fill.cast("long").alias("fill"),
+        "doc_ids",
+        "seq_lens",
+        (fill > capacity).alias("truncated"),
+    )
 
 
 def token_budget_sample(

@@ -3390,6 +3390,133 @@ FROM documents
 """
 
 
+def q_packed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed-bin materialization under the driver gate: the
+    ``pack_sequences`` layout (``n_tok := n_chars mod 509 + 1``, 8 md5
+    shards, capacity 1024) joined back to deterministic token arrays
+    (``tokens[i] = (doc_id + i) mod 64``) and materialized into padded
+    training rows (``pad_id=63`` — INSIDE the value alphabet, so the
+    checksum sees wrong padding, not zeros it ignores). Per
+    ``(shard, bin)``: member count, pre-pad fill, truncated flag,
+    doc-id sum, and a POSITION-WEIGHTED checksum of the padded array —
+    members concatenated in the wrong order, wrong padding, or a
+    wrong-length row all flip it. Oracle: DuckDB replays the ENTIRE
+    chain — the recursive-CTE greedy fold of pack_sequences, the
+    offset-ordered concat, slice + pad, and the same 1-based weighted
+    sum."""
+    from .operators.token_ops import materialize_packed_bins, pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        (F.pmod(F.col("n_chars"), F.lit(509)) + 1).cast("int").alias("n_tok"),
+    ).withColumn(
+        "tokens",
+        F.transform(
+            F.sequence(F.lit(0), F.col("n_tok") - 1),
+            lambda i: F.pmod(F.col("doc_id") + i, F.lit(64)).cast("int"),
+        ),
+    )
+    packed = pack_sequences(base, capacity=1024, shards=8)
+    bins = materialize_packed_bins(base, packed, capacity=1024, pad_id=63)
+    doc_id_sum = F.aggregate(
+        F.col("doc_ids"), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    return (
+        bins.select(
+            "shard",
+            "bin",
+            "n_seqs",
+            "fill",
+            "truncated",
+            doc_id_sum.alias("doc_id_sum"),
+            F.posexplode("tokens").alias("__p", "__x"),
+        )
+        .groupBy("shard", "bin")
+        .agg(
+            F.first("n_seqs").alias("n_seqs"),
+            F.first("fill").alias("fill"),
+            F.first("truncated").alias("truncated"),
+            F.first("doc_id_sum").alias("doc_id_sum"),
+            F.sum((F.col("__p") + 1) * F.col("__x")).cast("long").alias("checksum"),
+        )
+        .orderBy("shard", "bin")
+    )
+
+
+_SQL_PACKED_BINS = r"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, n_chars % 509 + 1 AS n_tok,
+         CAST(('0x' || substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              % 8 AS INT) AS shard
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_tok, shard,
+         CAST(row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS rn,
+         CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS cum
+  FROM t
+),
+m AS (SELECT shard, max(rn) AS mr FROM s GROUP BY shard),
+b AS (
+  SELECT shard, CAST(0 AS BIGINT) AS bin, CAST(0 AS BIGINT) AS base,
+         CAST(1 AS BIGINT) AS start_rn
+  FROM m
+  UNION ALL
+  SELECT b.shard, b.bin + 1,
+         (SELECT s2.cum FROM s s2 WHERE s2.shard = b.shard AND s2.rn =
+            greatest(coalesce((SELECT max(s3.rn) FROM s s3
+                               WHERE s3.shard = b.shard
+                                 AND s3.cum - b.base <= 1024), b.start_rn),
+                     b.start_rn)),
+         greatest(coalesce((SELECT max(s3.rn) FROM s s3
+                            WHERE s3.shard = b.shard
+                              AND s3.cum - b.base <= 1024), b.start_rn),
+                  b.start_rn) + 1
+  FROM b JOIN m USING (shard)
+  WHERE greatest(coalesce((SELECT max(s3.rn) FROM s s3
+                           WHERE s3.shard = b.shard
+                             AND s3.cum - b.base <= 1024), b.start_rn),
+                 b.start_rn) < m.mr
+),
+a AS (
+  SELECT s.doc_id, s.n_tok, s.shard, b.bin,
+         s.cum - s.n_tok - b.base AS "offset",
+         row_number() OVER (PARTITION BY s.shard, s.rn ORDER BY b.start_rn DESC)
+           AS pick
+  FROM s JOIN b ON b.shard = s.shard AND b.start_rn <= s.rn
+),
+lay AS (SELECT doc_id, n_tok, shard, bin, "offset" FROM a WHERE pick = 1),
+mem AS (
+  SELECT shard, bin, "offset", doc_id,
+         list_transform(range(n_tok),
+                        i -> CAST((doc_id + i) % 64 AS INTEGER)) AS tk
+  FROM lay
+),
+binned AS (
+  SELECT shard, bin,
+         CAST(count(*) AS BIGINT) AS n_seqs,
+         CAST(sum(doc_id) AS BIGINT) AS doc_id_sum,
+         flatten(list(tk ORDER BY "offset")) AS body
+  FROM mem GROUP BY shard, bin
+),
+padded AS (
+  SELECT shard, bin, n_seqs, doc_id_sum,
+         CAST(len(body) AS BIGINT) AS fill,
+         len(body) > 1024 AS truncated,
+         list_concat(body[1:1024],
+                     list_transform(range(greatest(1024 - len(body), 0)),
+                                    i -> 63)) AS ptk
+  FROM binned
+)
+SELECT p.shard, p.bin, p.n_seqs, p.fill, p.truncated, p.doc_id_sum,
+       CAST(sum(u.i * p.ptk[u.i]) AS BIGINT) AS checksum
+FROM padded p, unnest(generate_series(1, len(p.ptk))) AS u(i)
+GROUP BY p.shard, p.bin, p.n_seqs, p.fill, p.truncated, p.doc_id_sum
+ORDER BY p.shard, p.bin
+"""
+
+
 # Ordering contract (round 6): the driver's CORRECTNESS file records the
 # FIRST 50 entries of this dict (insertion order). Every SURVEY §2-mapped
 # oracle MUST therefore sit in the first 50; redundant-coverage extras
@@ -3503,6 +3630,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "chi_square_documents": (q_chi_square_documents, _SQL_CHI_SQUARE_DOCUMENTS),
     "ks_documents_nchars": (q_ks_documents_nchars, _SQL_KS_DOCUMENTS_NCHARS),
     "bpe_roundtrip": (q_bpe_roundtrip, _SQL_BPE_ROUNDTRIP),
+    "packed_bins": (q_packed_bins, _SQL_PACKED_BINS),
 }
 
 

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from pandera_unified_validator_spark.operators.token_ops import (
     duplicated_ngram_coverage,
+    materialize_packed_bins,
     mixture_rates,
     pack_sequences,
     token_budget_sample,
@@ -226,6 +227,66 @@ def test_pack_sequences_order_tie_break(spark):
     b = pack_sequences(build(17), capacity=256, shards=4, order_col="ts").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     _check_packing(a, 256)
+
+
+def test_materialize_packed_bins(spark):
+    # deterministic arrays whose size == n_tok, then pack + materialize
+    df = spark.range(120).select(
+        F.format_string("d%03d", F.col("id")).alias("doc_id"),
+        (F.pmod(F.col("id") * 13 + 5, F.lit(40)) + 1).cast("int").alias("n_tok"),
+    ).withColumn(
+        "tokens",
+        F.transform(
+            F.sequence(F.lit(0), F.col("n_tok") - 1),
+            lambda i: F.pmod(F.col("n_tok") + i, F.lit(50)).cast("int"),
+        ),
+    )
+    cap, pad = 64, 63
+    packed = pack_sequences(df, capacity=cap, shards=4)
+    bins = materialize_packed_bins(df, packed, capacity=cap, pad_id=pad).collect()
+
+    layout = {r["doc_id"]: r for r in packed.collect()}
+    docs = {r["doc_id"]: r for r in df.collect()}
+    # every doc appears in exactly one bin, in layout order
+    seen = []
+    for b in bins:
+        assert len(b["tokens"]) == cap
+        assert not b["truncated"]  # n_tok <= 41 < 64, no oversize
+        assert b["n_seqs"] == len(b["doc_ids"]) == len(b["seq_lens"])
+        body = []
+        for d in b["doc_ids"]:
+            lay = layout[d]
+            assert (lay["shard"], lay["bin"]) == (b["shard"], b["bin"])
+            body.extend(docs[d]["tokens"])
+            seen.append(d)
+        assert b["fill"] == len(body) <= cap
+        assert b["tokens"] == body + [pad] * (cap - len(body))
+        # members are offset-ordered: seq_lens' prefix sums == offsets
+        off = 0
+        for d, ln in zip(b["doc_ids"], b["seq_lens"]):
+            assert layout[d]["offset"] == off
+            assert docs[d]["n_tok"] == ln
+            off += ln
+    assert sorted(seen) == sorted(docs)
+
+
+def test_materialize_packed_bins_truncates_oversize(spark):
+    df = spark.createDataFrame(
+        [("a", list(range(10))), ("b", list(range(30)))],
+        "doc_id string, tokens array<int>",
+    ).withColumn("n_tok", F.size("tokens"))
+    packed = pack_sequences(df, capacity=16, shards=1)
+    bins = {
+        tuple(r["doc_ids"]): r
+        for r in materialize_packed_bins(
+            df, packed, capacity=16, pad_id=0
+        ).collect()
+    }
+    big = bins[("b",)]
+    assert big["truncated"] and big["fill"] == 30
+    assert big["tokens"] == list(range(16))
+    small = bins[("a",)]
+    assert not small["truncated"] and small["tokens"] == list(range(10)) + [0] * 6
 
 
 def test_pack_sequences_oversize_and_nulls(spark):
