@@ -227,12 +227,21 @@ def decode_bpe(
     NULL; ids outside the model's vocab raise (a decode of foreign ids
     is a caller bug, not data to pass through silently)."""
     tb = model.token_bytes()
+    n_vocab = len(tb)
 
     @F.pandas_udf("string")
     def _dec(s: pd.Series) -> pd.Series:
         def dec_one(ids):
             if ids is None:
                 return None
+            # ids arrive as a numpy array via Arrow — no bare truthiness
+            if len(ids) and (min(ids) < 0 or max(ids) >= n_vocab):
+                # negative ids would silently wrap via Python indexing
+                # (tb[-1] is the LAST merge) — a foreign sentinel like a
+                # -1/-100 pad must fail loudly, as the contract promises
+                raise ValueError(
+                    f"decode_bpe: id outside [0, {n_vocab}) in {ids[:8]}..."
+                )
             raw = b"".join(tb[i] for i in ids)
             t = raw.decode("utf-8")
             return t[1:] if t.startswith(" ") else t

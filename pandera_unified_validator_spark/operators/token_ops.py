@@ -549,10 +549,14 @@ def materialize_packed_bins(
     ``fill`` is the pre-pad token count (uncapped, so a truncated bin
     reports what it lost).
 
-    Shape at scale: the layout join and the ``(shard, bin)`` groupBy
-    are the ONE shuffle token arrays cross, and per-group state is
-    bounded by ``capacity`` tokens (+ the one oversize doc) — no bin
-    can blow a task. The in-row concat/pad expressions run once per
+    Shape at scale: token arrays cross the id-keyed layout join (a
+    broadcast at gate scale; at corpus scale the one-row-per-doc layout
+    side is too big to broadcast, so the join is the first of TWO
+    array-carrying shuffles) and the ``(shard, bin)`` groupBy, whose
+    per-group state is bounded by ``capacity`` tokens (+ the one
+    oversize doc) — no bin can blow a task. A production run that
+    already co-partitions the corpus by ``id_col`` (or writes the
+    layout bucketed on it) collapses the join back to zero exchange. The in-row concat/pad expressions run once per
     BIN, not per token (interpreted HOFs off the hot path — the
     ``remove_duplicated_spans`` rebuild precedent). A NULL token array
     poisons its bin's ``tokens`` to NULL rather than silently emitting

@@ -86,6 +86,17 @@ def test_apply_decode_roundtrip_spark(spark):
     assert flagged.filter(~F.col("seq_ok")).count() == 0
 
 
+def test_decode_rejects_foreign_ids(spark):
+    # negative sentinels (-1 / -100 pads) must fail loudly, not wrap via
+    # Python negative indexing into the last merge's bytes
+    m = BpeModel(merges=((32, 97),))
+    df = spark.createDataFrame([([32, -1],), ([999],)], "tokens array<int>")
+    with pytest.raises(Exception, match="outside"):
+        decode_bpe(df.limit(1), m, "tokens").collect()
+    with pytest.raises(Exception, match="outside"):
+        decode_bpe(df, m, "tokens").collect()
+
+
 def test_zero_merges_is_raw_bytes_and_merges_monotone(spark):
     df = spark.createDataFrame([("the cat sat on the mat the cat",)], "text string")
     m0 = BpeModel(merges=())
