@@ -307,6 +307,46 @@ def main() -> None:
             )
         )
 
+    from pandera_unified_validator_spark.operators.bpe import apply_bpe, train_bpe
+    from pandera_unified_validator_spark.operators.token_ops import (
+        materialize_packed_bins,
+        pack_sequences,
+    )
+
+    bpe_model = train_bpe(corpus, "text", num_merges=64)
+    sections.append(
+        (
+            "BPE apply (text -> tokens bridge, round-6)",
+            "One Arrow-batched projection over the raw-text scan — no "
+            "exchange anywhere: the merge ranks ride the UDF closure and "
+            "the normalization (lower/split/join) is Spark-side codegen "
+            "feeding the UDF. Training is a separate one-shot aggregate "
+            "(explode -> partial-agg groupBy -> top-K collect), not part "
+            "of this plan.",
+            plan_of(apply_bpe(corpus.select("doc_id", "text"), bpe_model, "text")),
+        )
+    )
+
+    packed = pack_sequences(df.select("doc_id", "n_tok"), capacity=1024, shards=16)
+    sections.append(
+        (
+            "Packed-bin materialization (round-6)",
+            "pack_sequences shuffles only (id, n_tok) triples into shard "
+            "groups (one Arrow stage packs each shard); the materialize "
+            "step then joins the layout back to the token arrays (broadcast "
+            "at this scale; at corpus scale a second array-carrying "
+            "exchange unless the corpus is co-partitioned by id) and "
+            "groupBys (shard, bin) — per-group state bounded by capacity. "
+            "The concat/pad HOFs run once per BIN and the flatten is "
+            "materialized as a real projection column (SPARK-36718).",
+            plan_of(
+                materialize_packed_bins(
+                    df.select("doc_id", "tokens"), packed, capacity=1024, pad_id=0
+                )
+            ),
+        )
+    )
+
     out = ["# PLAN — physical-plan audit (generated by tools/plan_audit.py)\n"]
     for title, why, plan in sections:
         s = summarize(plan)
