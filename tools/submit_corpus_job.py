@@ -6,7 +6,10 @@ Stages (each a first-class operator of this engine): corpus-level line dedup
 → Gopher quality gate → URL blocklist → MinHash near-dup + connected-
 components keep-one → unigram-LM quality floor → deterministic stratified
 sample → optional DSIR importance selection (``--dsir-k``) → write parquet
-+ one JSON summary line. Operator caches (signature
++ one JSON summary line → optional text→training-rows bridge
+(``--tokenize-merges``: train byte-level BPE on the curated text, tokenize,
+validate, pack, materialize padded bins to ``<output>_bins`` with a
+partitioning-invariant checksum in the summary). Operator caches (signature
 store, CC label checkpoints) are released via ``operator_cache_scope`` once
 the output is written — the long-lived-session hygiene the cache registry
 exists for.
@@ -120,6 +123,15 @@ def main() -> int:
                         "The target is the doc_id %% 17 == 0 slice of the raw "
                         "input — a deterministic stand-in for a clean "
                         "exemplar corpus (Wikipedia in the paper)")
+    p.add_argument("--tokenize-merges", type=int, default=0,
+                   help="after curation, train a byte-level BPE model with N "
+                        "merges on the curated text, tokenize, validate the "
+                        "sequences, pack to --pack-capacity bins and write "
+                        "<output>_bins (0 disables). The summary carries a "
+                        "partitioning-invariant position-weighted checksum "
+                        "over every padded bin, so two cluster shapes can be "
+                        "compared bit-for-bit")
+    p.add_argument("--pack-capacity", type=int, default=1024)
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -184,12 +196,67 @@ def main() -> int:
         step.write.mode("overwrite").parquet(args.output)
 
     stages["written"] = spark.read.parquet(args.output).count()
+
+    if args.tokenize_merges:
+        # text -> training-rows bridge on the CURATED corpus: every stage a
+        # first-class operator (train_bpe / apply_bpe / token_sequence_flags
+        # / pack_sequences / materialize_packed_bins); all deterministic
+        # under any partitioning, so the checksum below must be identical
+        # across cluster shapes
+        from pandera_unified_validator_spark.operators.bpe import (
+            apply_bpe,
+            train_bpe,
+        )
+        from pandera_unified_validator_spark.operators.token_ops import (
+            materialize_packed_bins,
+            pack_sequences,
+            token_sequence_flags,
+        )
+
+        curated = spark.read.parquet(args.output)
+        model = train_bpe(curated, "text", num_merges=args.tokenize_merges)
+        toks = apply_bpe(curated.select("doc_id", "text"), model, "text").withColumn(
+            "n_tok", F.size("tokens")
+        )
+        flags = token_sequence_flags(toks, vocab_size=model.vocab_size)
+        stages["tokenized_ok"] = flags.where("seq_ok").count()
+        packed = pack_sequences(toks, capacity=args.pack_capacity, shards=64)
+        bins = materialize_packed_bins(
+            toks, packed, capacity=args.pack_capacity, pad_id=model.vocab_size - 1
+        )
+        bins.write.mode("overwrite").parquet(args.output + "_bins")
+        bdf = spark.read.parquet(args.output + "_bins")
+        b = bdf.agg(
+            F.count(F.lit(1)).alias("nb"),
+            F.sum("fill").alias("nt"),
+            F.sum(F.when(F.col("truncated"), 1).otherwise(0)).alias("trunc"),
+        ).collect()[0]
+        chk = (
+            bdf.select(F.posexplode("tokens").alias("p", "x"))
+            .agg(F.sum((F.col("p") + 1) * F.col("x")).alias("c"))
+            .collect()[0]["c"]
+        )
+        stages["bins_written"] = int(b["nb"])
+        stages["tokens_total"] = int(b["nt"])
+        extra_tok = {
+            "bpe_vocab_size": model.vocab_size,
+            "bins_truncated": int(b["trunc"]),
+            "bins_checksum": int(chk),
+            "bin_utilization": round(
+                min(b["nt"], b["nb"] * args.pack_capacity)
+                / max(b["nb"] * args.pack_capacity, 1),
+                4,
+            ),
+        }
+    else:
+        extra_tok = {}
     n_rdds = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     summary = {
         "stages": stages,
         "kept_ratio": round(stages["written"] / max(stages["input"], 1), 4),
         "persistent_rdds_after_scope": n_rdds,
         "executors": spark.sparkContext.defaultParallelism,
+        **extra_tok,
     }
     print(json.dumps(summary))
     if args.report:
