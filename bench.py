@@ -112,6 +112,17 @@ def main() -> None:
                 "scaling_standalone*.json",
             )
         )
+        # the supplementary shuffle-heavy corpus-operator reading
+        # (duplicated_ngram_coverage; see BENCH/BASELINE.md) — exclude the
+        # preserved root-disk-artifact file, it documents the sandbox, not
+        # the engine
+        + glob.glob(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH",
+                "scaling_token_ops_[0-9]c.json",
+            )
+        )
     )
     if caches:
         scaling = {"protocol": "standalone executor processes (see BENCH/BASELINE.md)"}
@@ -119,8 +130,11 @@ def main() -> None:
             with open(p) as f:
                 rec = json.load(f)
             cores = rec.get("exec_cores", "?")
+            # token-op records carry an "operator" tag; keep their keys
+            # distinct from the validator job's at the same core shape
+            tag = " corpus-op" if rec.get("operator") else ""
             for k, v in rec.get("summary", {}).items():
-                scaling[f"{k} @{cores}c"] = v["scaling_efficiency"]
+                scaling[f"{k} @{cores}c{tag}"] = v["scaling_efficiency"]
 
     total = round(sum(timings.values()), 3)
     out = {
