@@ -120,6 +120,40 @@ def test_zero_merges_is_raw_bytes_and_merges_monotone(spark):
         prev = nk
 
 
+def test_apply_bpe_under_structured_streaming(spark, tmp_path):
+    # the bridge is a stateless Arrow projection, so it must run unchanged
+    # under a file-source stream — the continuous-tokenization shape
+    src = tmp_path / "bpe_stream_in"
+    df = spark.createDataFrame(
+        [(f"d{i}", f"stream doc number {i} with shared words") for i in range(40)],
+        "doc_id string, text string",
+    )
+    df.write.mode("overwrite").parquet(str(src))
+    model = train_bpe(df, "text", num_merges=32)
+    stream = spark.readStream.schema(
+        spark.read.parquet(str(src)).schema
+    ).parquet(str(src) + "/*.parquet")
+    enc = apply_bpe(stream, model, "text", "tokens").select(
+        "doc_id", F.size("tokens").alias("n")
+    )
+    q = (
+        enc.writeStream.format("memory")
+        .queryName("puv_bpe_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["doc_id"]: r["n"] for r in spark.table("puv_bpe_stream").collect()}
+    want = {
+        r["doc_id"]: r["n"]
+        for r in apply_bpe(df, model, "text", "tokens")
+        .select("doc_id", F.size("tokens").alias("n"))
+        .collect()
+    }
+    assert got == want and len(got) == 40
+
+
 @settings(max_examples=200, deadline=None)
 @given(
     st.text(
