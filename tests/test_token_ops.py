@@ -289,6 +289,56 @@ def test_materialize_packed_bins_truncates_oversize(spark):
     assert not small["truncated"] and small["tokens"] == list(range(10)) + [0] * 6
 
 
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.integers(1, 30), min_size=1, max_size=25),
+    st.integers(8, 48),
+)
+def test_materialize_packed_bins_property(spark, lens, capacity):
+    # pure-python reference: replay the md5-sharded next-fit layout and the
+    # offset-ordered concat + slice + pad, then compare every bin
+    import hashlib
+
+    pad = 7
+    docs = [(f"d{i:03d}", [(i + j) % 11 for j in range(L)]) for i, L in enumerate(lens)]
+    df = spark.createDataFrame(
+        [(d, t, len(t)) for d, t in docs],
+        "doc_id string, tokens array<int>, n_tok int",
+    )
+    packed = pack_sequences(df, capacity=capacity, shards=3)
+    got = {
+        (r["shard"], r["bin"]): r
+        for r in materialize_packed_bins(
+            df, packed, capacity=capacity, pad_id=pad
+        ).collect()
+    }
+
+    tok = dict(docs)
+
+    def shard_of(d):
+        return int(hashlib.md5(f"42|{d}".encode()).hexdigest()[:8], 16) % 3
+
+    bins: dict[tuple, list] = {}
+    for s in range(3):
+        members = sorted(d for d in tok if shard_of(d) == s)
+        b, fill = 0, 0
+        for d in members:
+            L = len(tok[d])
+            if fill and fill + L > capacity:
+                b, fill = b + 1, 0
+            bins.setdefault((s, b), []).append(d)
+            fill += L
+    assert set(got) == set(bins)
+    for key, ids in bins.items():
+        body = [t for d in ids for t in tok[d]]
+        want = body[:capacity] + [pad] * max(capacity - len(body), 0)
+        r = got[key]
+        assert r["doc_ids"] == ids
+        assert r["tokens"] == want
+        assert r["fill"] == len(body)
+        assert r["truncated"] == (len(body) > capacity)
+
+
 def test_pack_sequences_oversize_and_nulls(spark):
     df = spark.createDataFrame(
         [("a", 10), ("b", 999), ("c", 20), ("d", None)],
