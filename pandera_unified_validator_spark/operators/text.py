@@ -13,7 +13,7 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass
 from functools import reduce
-from operator import add, and_
+from operator import and_
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -45,6 +45,7 @@ __all__ = [
     "score_gram_classifier",
     "DsirModel",
     "fit_dsir",
+    "fit_resample_dsir",
     "dsir_log_weights",
     "dsir_resample",
     "analyze_text",
@@ -84,6 +85,31 @@ _CJK = r"[一-鿿]"
 _STOPWORDS_RE = (
     r"\b(the|a|an|and|or|of|to|in|is|it|that|for|on|as|with|was|at|by)\b"
 )
+
+# character sets for translate()-based counting (round 7): counting the
+# characters OUTSIDE a class via length(translate(c, class_chars, '')) is a
+# per-character codegen pass; regexp_count('[^...]') walks the regex engine
+# once per MATCH and measured 2.3x slower on punctuation-dense text
+# (1.23s -> 0.54s at sf1.0). Java's \s is exactly [ \t\n\x0b\f\r].
+_WS_CHARS = " \t\n\x0b\x0c\r"
+_ALNUM_WS_CHARS = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789" + _WS_CHARS
+)
+_DIGIT_CHARS = "0123456789"
+_UPPER_CHARS = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+
+
+def _count_outside(c: Column, keep_chars: str) -> Column:
+    """Number of characters of ``c`` NOT in ``keep_chars`` — equivalent to
+    ``regexp_count(c, '[^<keep>]')`` (both count code points) at a fraction
+    of the cost."""
+    return F.length(F.translate(c, keep_chars, ""))
+
+
+def _count_inside(c: Column, chars: str) -> Column:
+    """Number of characters of ``c`` in ``chars`` — equivalent to
+    ``regexp_count(c, '[<chars>]')``."""
+    return F.length(c) - F.length(F.translate(c, chars, ""))
 
 # rolling-hash parameters: two independent 31-bit folds combined into one
 # 62-bit fingerprint. Each fold keeps acc < 2^31, so acc·base + h < 2^52 —
@@ -238,11 +264,28 @@ def language_id(text: Column | str) -> Column:
             for code, pat in sorted(_LANG_MARKERS.items())
         ]
     )
-    best = F.array_max(scored)
-    expr = F.when(c.isNull(), F.lit(None))
-    for code, pat in _SCRIPT_LANGS:
-        expr = expr.when(c.rlike(pat), F.lit(code))
-    return expr.when(best["hits"] > 0, best["code"]).otherwise(F.lit("und"))
+    # ONE evaluation of the 7-scan marker array: array_max over the
+    # positive-hit subset is NULL when nothing matched (-> 'und') and equals
+    # the overall struct-max otherwise (any positive (hits, code) orders
+    # above every zero). The round-6 form referenced best['hits'] in the
+    # CaseWhen condition and best['code'] in its value — two full
+    # evaluations of all 7 regexp_counts per Latin-script row (measured:
+    # langid 6.5s -> 3.6s at sf1.0).
+    best = F.array_max(F.filter(scored, lambda s: s["hits"] > 0))
+    marker_pick = F.coalesce(best["code"], F.lit("und"))
+    # script probes only run when the text has ANY non-ASCII character (one
+    # cheap class scan); every script range is non-ASCII, so pure-ASCII rows
+    # can never match a script probe and skip all 8 rlikes.
+    script_pick = F.lit(None).cast("string")
+    for code, pat in reversed(_SCRIPT_LANGS):
+        script_pick = F.when(c.rlike(pat), F.lit(code)).otherwise(script_pick)
+    return (
+        F.when(c.isNull(), F.lit(None).cast("string"))
+        .when(
+            c.rlike(r"[^\x00-\x7F]"), F.coalesce(script_pick, marker_pick)
+        )
+        .otherwise(marker_pick)
+    )
 
 
 def quality_features(text: Column | str) -> dict[str, Column]:
@@ -253,19 +296,22 @@ def quality_features(text: Column | str) -> dict[str, Column]:
     n_words = F.size(ws)
     safe_words = F.greatest(n_words, F.lit(1))
     safe_chars = F.greatest(n_chars, F.lit(1))
+    # round 7: class-counting regexp_counts -> translate() passes (2.3x on
+    # punctuation; see _count_outside) and the per-word interpreted
+    # sum-of-lengths fold -> "non-whitespace chars of the lowercased text"
+    # (identical by construction: the words are exactly the non-\s runs).
     return {
         "n_chars": n_chars,
         "n_words": n_words,
         "mean_word_len": (
-            F.aggregate(ws, F.lit(0), lambda acc, w: acc + F.length(w)).cast("double")
-            / safe_words
+            _count_outside(F.lower(c), _WS_CHARS).cast("double") / safe_words
         ),
         "stopword_ratio": F.regexp_count(F.lower(c), F.lit(_STOPWORDS_RE)).cast("double")
         / safe_words,
-        "punct_ratio": F.regexp_count(c, F.lit(r"[^A-Za-z0-9\s]")).cast("double")
+        "punct_ratio": _count_outside(c, _ALNUM_WS_CHARS).cast("double")
         / safe_chars,
-        "upper_ratio": F.regexp_count(c, F.lit(r"[A-Z]")).cast("double") / safe_chars,
-        "digit_ratio": F.regexp_count(c, F.lit(r"[0-9]")).cast("double") / safe_chars,
+        "upper_ratio": _count_inside(c, _UPPER_CHARS).cast("double") / safe_chars,
+        "digit_ratio": _count_inside(c, _DIGIT_CHARS).cast("double") / safe_chars,
     }
 
 
@@ -463,30 +509,36 @@ def gopher_quality_flags(text: Column | str) -> dict[str, Column]:
     ws = words(c)
     n_words = F.size(ws)
     safe_words = F.greatest(n_words, F.lit(1)).cast("double")
-    mean_wl = (
-        F.aggregate(ws, F.lit(0), lambda a, w: a + F.length(w)).cast("double")
-        / safe_words
-    )
+    # round 7: sum-of-word-lengths == non-whitespace chars of the lowercased
+    # text (the words ARE its non-\s runs) — one translate pass replaces the
+    # per-word interpreted fold
+    mean_wl = _count_outside(lc, _WS_CHARS).cast("double") / safe_words
     symbols = F.regexp_count(c, F.lit(r"#|\.\.\.|…"))
-    lines = F.filter(F.split(c, "\n"), lambda l: F.trim(l) != "")
-    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
-    bullet_frac = (
-        F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*•]")))
-        / n_lines
-    )
-    ellipsis_frac = (
-        F.size(F.filter(lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$")))
-        / n_lines
-    )
+    # line-shaped rules as multiline regexp_counts over the whole document —
+    # no line array, no per-line interpreted filter. Equivalences (Spark
+    # trim/rtrim strip 0x20 only, so ' *' mirrors them exactly):
+    #   nonempty line  == '(?m)^ *[^ \n]'    (any non-space, non-EOL char)
+    #   bullet line    == '(?m)^ *[-*•]'     (trimmed line starts with bullet)
+    #   ellipsis line  == '(?m)(\.\.\.|…) *$' (rtrimmed line ends with one;
+    #                     $ anchoring caps it at one match per line)
+    n_lines = F.greatest(
+        F.regexp_count(c, F.lit(r"(?m)^ *[^ \n]")), F.lit(1)
+    ).cast("double")
+    bullet_frac = F.regexp_count(c, F.lit(r"(?m)^ *[-*•]")) / n_lines
+    ellipsis_frac = F.regexp_count(c, F.lit(r"(?m)(\.\.\.|…) *$")) / n_lines
     alpha_frac = (
         F.size(F.filter(ws, lambda w: w.rlike("[a-zA-Z]"))) / safe_words
     )
-    stop_distinct = reduce(
-        add,
-        [
-            F.when(lc.rlike(rf"\b{w}\b"), 1).otherwise(0)
-            for w in _GOPHER_STOPWORDS
-        ],
+    # distinct stop words present: ONE alternation scan + array_distinct
+    # instead of 8 whole-string rlikes (measured 1.35s -> 0.56s at sf1.0)
+    stop_distinct = F.size(
+        F.array_distinct(
+            F.regexp_extract_all(
+                lc,
+                F.lit(r"\b(" + "|".join(_GOPHER_STOPWORDS) + r")\b"),
+                1,
+            )
+        )
     )
     flags = {
         "words_in_range": (n_words >= 50) & (n_words <= 100_000),
@@ -597,6 +649,29 @@ def unigram_doc_scores(
 
 
 # ------------------------------ hashed-ngram linear quality classifier ----
+def _gram_join(ws: Column, k: int, sep: str) -> Column:
+    """k-gram strings from an ALREADY-BUILT element-string array column
+    (the shared tail of :func:`gram_strings` / :func:`token_gram_strings`):
+    zip-of-shifted-slices, whole-doc gram for short docs, empty for empty.
+    Callers that need several k values should project ``ws`` once and call
+    this per k — re-deriving the element array per k doubles the build
+    (round 7: the md5 gram explode builds 1-grams AND 2-grams)."""
+    n = F.coalesce(F.size(ws), F.lit(0))
+    if k == 1:
+        return F.when(n > 0, ws).otherwise(F.array().cast("array<string>"))
+    cnt = F.greatest(n - (k - 1), F.lit(0))
+    acc = F.slice(ws, 1, cnt)
+    for j in range(1, k):
+        acc = F.zip_with(
+            acc, F.slice(ws, 1 + j, cnt), lambda a, b: F.concat(a, F.lit(sep), b)
+        )
+    return (
+        F.when(n >= k, acc)
+        .when(n > 0, F.array(F.concat_ws(sep, ws)))
+        .otherwise(F.array().cast("array<string>"))
+    )
+
+
 def gram_strings(text: Column | str, k: int = 1) -> Column:
     """Word k-gram array as lowercased STRINGS; docs shorter than k words
     yield one whole-doc gram (``dedup.shingles``' short-doc rule, so the
@@ -704,9 +779,21 @@ def _gram_bucket_rows(
         ex = elems.select(F.col(id_col), *extra_cols, explode(arr).alias("__gh"))
         bucket = F.pmod(F.col("__gh"), F.lit(num_buckets)).cast("int")
     elif hash_fn == "md5":
-        mk = gram_strings if payload == "text" else token_gram_strings
-        arr = F.concat(*[mk(text_col, k) for k in range(1, ngram_max + 1)])
-        ex = df.select(F.col(id_col), *extra_cols, explode(arr).alias("__gs"))
+        # stage the element-string array ONCE (materialized projection —
+        # CollapseProject keeps it because it is referenced per k), then
+        # build every k-gram level from the staged column: the round-6 form
+        # re-derived the word/stringified-token array inside each
+        # gram_strings(k) call — ngram_max full rebuilds per row
+        if payload == "text":
+            base, sep = words(text_col), " "
+        else:
+            t = F.col(text_col) if isinstance(text_col, str) else text_col
+            base, sep = F.transform(t, lambda x: x.cast("string")), ","
+        staged = df.select(F.col(id_col), *extra_cols, base.alias("__ws"))
+        arr = F.concat(
+            *[_gram_join(F.col("__ws"), k, sep) for k in range(1, ngram_max + 1)]
+        )
+        ex = staged.select(F.col(id_col), *extra_cols, explode(arr).alias("__gs"))
         bucket = F.pmod(
             F.conv(F.substring(F.md5("__gs"), 1, 8), 16, 10).cast("long"),
             F.lit(num_buckets),
@@ -1048,6 +1135,27 @@ def fit_dsir(
         raw_df, text_col, num_buckets=num_buckets, ngram_max=ngram_max,
         hash_fn=hash_fn, payload=payload,
     ).withColumnRenamed("__c", "__cr")
+    return _fit_dsir_from_counts(
+        ct, cr, num_buckets=num_buckets, ngram_max=ngram_max, alpha=alpha,
+        hash_fn=hash_fn, payload=payload,
+    )
+
+
+def _fit_dsir_from_counts(
+    ct: DataFrame,
+    cr: DataFrame,
+    *,
+    num_buckets: int,
+    ngram_max: int,
+    alpha: float,
+    hash_fn: str,
+    payload: str,
+) -> DsirModel:
+    """Build a :class:`DsirModel` from per-bucket target / raw counts
+    (``(__b, __ct)`` and ``(__b, __cr)``) — the arithmetic tail shared by
+    :func:`fit_dsir` and the one-explode :func:`fit_resample_dsir`."""
+    from ..utils.cache import registry as _cache
+
     j = _cache.persist(
         ct.join(cr, "__b", "full_outer").select(
             "__b",
@@ -1111,6 +1219,18 @@ def dsir_log_weights(
         keep_empty_docs=True,
         payload=model.payload,
     )
+    return _dsir_weight_rows(g, model, id_col, keep_cols)
+
+
+def _dsir_weight_rows(
+    g: DataFrame,
+    model: DsirModel,
+    id_col: str,
+    keep_cols: Sequence[str],
+) -> DataFrame:
+    """Aggregate a gram-occurrence table (id, …, __b; NULL __b = wordless
+    doc) into per-doc log weights under ``model`` — the back half of
+    :func:`dsir_log_weights`, shared with :func:`fit_resample_dsir`."""
     scored = g.join(
         F.broadcast(model.log_ratio), g["__b"] == F.col("bucket"), "left"
     )
@@ -1146,11 +1266,23 @@ def dsir_resample(
     Returns (id, *keep_cols, log_w, gumbel) for the k selected docs.
     The plan is a TakeOrderedAndProject (per-partition top-k heaps, no
     global sort materialization) — scale-safe for any bounded k."""
+    lw = dsir_log_weights(df, model, id_col, text_col, keep_cols=keep_cols)
+    return _gumbel_topk(lw, k, id_col, seed, keep_cols)
+
+
+def _gumbel_topk(
+    lw: DataFrame,
+    k: int,
+    id_col: str,
+    seed: int,
+    keep_cols: Sequence[str],
+) -> DataFrame:
+    """Deterministic Gumbel-top-k over a (id, *keep, log_w, n_grams) weight
+    table — the selection tail of :func:`dsir_resample`, shared with
+    :func:`fit_resample_dsir`."""
     from .sampling import _HASH_SPAN, sample_hash
 
-    lw = dsir_log_weights(
-        df, model, id_col, text_col, keep_cols=keep_cols
-    ).select(
+    lw = lw.select(
         id_col,
         *keep_cols,
         F.round("log_w", 4).alias("log_w"),
@@ -1163,6 +1295,73 @@ def dsir_resample(
         .orderBy(F.desc(F.col("log_w") + F.col("gumbel")), F.col(id_col))
         .limit(k)
     )
+
+
+def fit_resample_dsir(
+    df: DataFrame,
+    target_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    keep_cols: Sequence[str] = (),
+    seed: int = 42,
+    num_buckets: int = 1 << 16,
+    ngram_max: int = 2,
+    alpha: float = 0.5,
+    hash_fn: str = "xxhash64",
+    payload: str = "text",
+) -> tuple[DsirModel, DataFrame]:
+    """Fit DSIR against an IN-CORPUS target (boolean ``target_col``; TRUE =
+    target exemplar, the common "select toward the high-quality subset"
+    shape) and resample ``k`` docs over ONE persisted gram explode.
+
+    ``fit_dsir`` + ``dsir_resample`` on the same corpus pay the gram build
+    (words / stringified tokens, gram strings in md5 mode, hashing) for the
+    raw-count pass AND again for the scoring pass — at sf1.0 that build is
+    the dominant term (~6.7s of a 15.2s query), and at 100 TB it is the
+    difference between two full corpus passes and one. Here the (id,
+    target, *keep, __b) occurrence table is built once, persisted through
+    the cache registry, and feeds the target counts, the raw counts, and
+    the per-doc weight aggregation. Rows with NULL ``target_col`` count as
+    non-target (raw side only), matching ``df.where(col)``'s NULL-drop.
+    Arithmetic is bit-identical to the two-pass API: counts are integer
+    aggregates of the same multisets, and ``log_w`` rounds to 4dp before
+    ranking exactly as :func:`dsir_resample` does.
+
+    Returns ``(model, selected)`` with ``selected`` shaped exactly like
+    :func:`dsir_resample` — (id, *keep_cols, log_w, n_grams, gumbel)."""
+    from ..utils.cache import registry as _reg
+
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0 (smoothing), got {alpha}")
+    g = _reg.persist(
+        _gram_bucket_rows(
+            df,
+            id_col,
+            text_col,
+            num_buckets=num_buckets,
+            ngram_max=ngram_max,
+            hash_fn=hash_fn,
+            extra_cols=(target_col, *keep_cols),
+            keep_empty_docs=True,
+            payload=payload,
+        ),
+        "dsir.grams",
+    )
+    nn = g.filter(F.col("__b").isNotNull())
+    ct = (
+        nn.filter(F.col(target_col))
+        .groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__ct"))
+    )
+    cr = nn.groupBy("__b").agg(F.count(F.lit(1)).alias("__cr"))
+    model = _fit_dsir_from_counts(
+        ct, cr, num_buckets=num_buckets, ngram_max=ngram_max, alpha=alpha,
+        hash_fn=hash_fn, payload=payload,
+    )
+    lw = _dsir_weight_rows(g, model, id_col, keep_cols)
+    return model, _gumbel_topk(lw, k, id_col, seed, keep_cols)
 
 
 def analyze_text(

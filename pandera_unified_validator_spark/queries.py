@@ -2140,18 +2140,28 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: DuckDB replays gram building, bucketing, the smoothing
     arithmetic, per-doc sums, the Gumbel transform, and the top-k —
     the full pipeline, not an idealized answer."""
-    from .operators.text import dsir_resample, fit_dsir
+    from .operators.text import fit_resample_dsir
 
+    # one-explode path (round 7): the gram table feeds target counts, raw
+    # counts AND scoring — one gram build instead of three. Results are
+    # bit-identical to fit_dsir(d.where(lang='de'), d) + dsir_resample(d):
+    # the NULL-dropping where() is replayed by the boolean flag.
     d = _t(spark, sf_dir, "documents")
-    model = fit_dsir(
-        d.where(F.col("lang") == "de"),
-        d,
+    flagged = d.select(
+        "doc_id", "text", "source", (F.col("lang") == "de").alias("__is_de")
+    )
+    _, sel = fit_resample_dsir(
+        flagged,
+        "__is_de",
+        100,
+        keep_cols=("source",),
+        seed=42,
         num_buckets=4096,
         ngram_max=2,
         alpha=0.5,
         hash_fn="md5",
     )
-    return dsir_resample(d, model, 100, keep_cols=("source",), seed=42)
+    return sel
 
 
 _SQL_DSIR_SELECT = r"""
@@ -2210,8 +2220,15 @@ def q_dsir_tokens_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``array_to_string(list_slice(...), ',')`` and replays bucketing,
     smoothing, summed log weights, the Gumbel transform, and the
     top-k."""
-    from .operators.text import dsir_resample, fit_dsir, words
+    from .operators.text import fit_resample_dsir, words
 
+    # one-explode path (round 7): the synthetic token table (an interpreted
+    # word-length transform) and its gram strings were previously built for
+    # the target count pass, the raw count pass AND the scoring pass; the
+    # shared gram table builds them once. The old target construction
+    # (seqs ⋈ de-doc_ids) is replayed by the boolean flag — lang is never
+    # NULL-joined differently because where() drops NULLs exactly like the
+    # flag filter.
     d = _t(spark, sf_dir, "documents")
     wl = F.transform(words("text"), F.length)
     boiler = F.array(*[F.lit(i) for i in (3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8)])
@@ -2220,21 +2237,25 @@ def q_dsir_tokens_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(wl)
         .cast("array<int>")
     )
-    seqs = d.select("doc_id", "source", toks.alias("tokens"))
-    target = seqs.join(d.where(F.col("lang") == "de").select("doc_id"), "doc_id")
-    model = fit_dsir(
-        target,
+    seqs = d.select(
+        "doc_id", "source", toks.alias("tokens"),
+        (F.col("lang") == "de").alias("__is_de"),
+    )
+    _, sel = fit_resample_dsir(
         seqs,
+        "__is_de",
+        100,
+        "doc_id",
         "tokens",
+        keep_cols=("source",),
+        seed=43,
         num_buckets=4096,
         ngram_max=2,
         alpha=0.5,
         hash_fn="md5",
         payload="tokens",
     )
-    return dsir_resample(
-        seqs, model, 100, "doc_id", "tokens", keep_cols=("source",), seed=43
-    )
+    return sel
 
 
 _SQL_DSIR_TOKENS_SELECT = r"""
