@@ -305,21 +305,29 @@ def remove_duplicated_spans(
         "remove_duplicated_spans.grams",
     )
     # two-level aggregate: (gram, doc) → first in-doc position is a pure
-    # HASH aggregate (map-side combined, codegen); only the already-
-    # distinct (gram, doc) rows reach the min-struct canonical pick (a
-    # SortAggregate — struct min isn't hash-aggregable), and the plain
-    # count over distinct rows replaces count_distinct's expand pass
+    # HASH aggregate (map-side combined, codegen); the canonical pick over
+    # the already-distinct (gram, doc) rows is lexicographic min of
+    # (id, first_pos) — expressed as min(id) + min_by(first_pos, id)
+    # (id is UNIQUE within a gram group, so min_by is exact), both
+    # fixed-width DECLARATIVE aggregates that stay in HashAggregate.
+    # Round 6 aggregated min(struct(id, pos)), whose struct buffer forced a
+    # SortAggregate — two full sorts of the corpus-sized gram table
+    # (measured: the dup-pick stage dominated the operator at sf1.0).
     per_doc = grams.groupBy("__g", id_col).agg(F.min("__pos").alias("__fp"))
     dup = (
         per_doc.groupBy("__g")
         .agg(
             F.count(F.lit(1)).alias("__nd"),
-            F.min(F.struct(F.col(id_col).alias("i"), F.col("__fp").alias("p"))).alias(
-                "__can"
-            ),
+            F.min(F.col(id_col)).alias("__ci"),
+            F.min_by(F.col("__fp"), F.col(id_col)).alias("__cp"),
         )
         .filter(F.col("__nd") >= min_docs)
-        .select("__g", "__can")
+        .select(
+            "__g",
+            F.struct(
+                F.col("__ci").alias("i"), F.col("__cp").alias("p")
+            ).alias("__can"),
+        )
     )
     hits = grams.join(dup, "__g").filter(
         ~(
@@ -534,6 +542,9 @@ def materialize_packed_bins(
     pad_id: int,
     id_col: str = "doc_id",
     tokens_col: str = "tokens",
+    copartition: bool = False,
+    shards: int | None = None,
+    seed: int = 42,
 ) -> DataFrame:
     """Materialize :func:`pack_sequences`' layout into training rows:
     one row per ``(shard, bin)`` with the member token arrays
@@ -549,22 +560,53 @@ def materialize_packed_bins(
     ``fill`` is the pre-pad token count (uncapped, so a truncated bin
     reports what it lost).
 
-    Shape at scale: token arrays cross the id-keyed layout join (a
-    broadcast at gate scale; at corpus scale the one-row-per-doc layout
-    side is too big to broadcast, so the join is the first of TWO
-    array-carrying shuffles) and the ``(shard, bin)`` groupBy, whose
-    per-group state is bounded by ``capacity`` tokens (+ the one
-    oversize doc) — no bin can blow a task. A production run that
-    already co-partitions the corpus by ``id_col`` (or writes the
-    layout bucketed on it) collapses the join back to zero exchange. The in-row concat/pad expressions run once per
+    Shape at scale: with the default ``copartition=False`` the token
+    arrays cross the id-keyed layout join (a broadcast at gate scale; at
+    corpus scale the one-row-per-doc layout side is too big to broadcast,
+    making the join the first of TWO array-carrying shuffles) and the
+    ``(shard, bin)`` groupBy. ``copartition=True`` (pass the SAME
+    ``shards``/``seed`` as the ``pack_sequences`` call) is the corpus-
+    scale path: the shard id is re-derived from ``id_col`` on BOTH sides
+    (it is a pure function of the id), both sides repartition on it, the
+    layout joins as a shuffled-hash build side with no new exchange, and
+    the ``(shard, bin)`` aggregate reuses the shard partitioning — token
+    arrays cross EXACTLY ONE exchange end to end (requires the session
+    default ``spark.sql.requireAllClusterKeysForCoPartition=false`` so
+    the planner accepts the shard-subset co-partitioning; see
+    ``session.get_spark``). Per-group aggregate state is bounded by
+    ``capacity`` tokens (+ the one oversize doc) either way — no bin can
+    blow a task. The in-row concat/pad expressions run once per
     BIN, not per token (interpreted HOFs off the hot path — the
     ``remove_duplicated_spans`` rebuild precedent). A NULL token array
     poisons its bin's ``tokens`` to NULL rather than silently emitting
     a wrong row — validate with :func:`token_sequence_flags` first.
     """
-    j = packed.select(id_col, "shard", "bin", "offset").join(
-        df.select(id_col, tokens_col), id_col
-    )
+    if copartition:
+        if shards is None:
+            raise ValueError(
+                "copartition=True needs the pack_sequences shard count "
+                "(pass shards=<same value>, and seed if non-default)"
+            )
+        shard_of = (
+            F.pmod(sample_hash(F.col(id_col), seed), F.lit(shards))
+            .cast("int")
+            .alias("shard")
+        )
+        lay = (
+            packed.select(id_col, "bin", "offset")
+            .withColumn("shard", shard_of)
+            .repartition(F.col("shard"))
+        )
+        corp = (
+            df.select(id_col, tokens_col)
+            .withColumn("shard", shard_of)
+            .repartition(F.col("shard"))
+        )
+        j = lay.hint("shuffle_hash").join(corp, ["shard", id_col])
+    else:
+        j = packed.select(id_col, "shard", "bin", "offset").join(
+            df.select(id_col, tokens_col), id_col
+        )
     members = F.sort_array(
         F.collect_list(
             F.struct(

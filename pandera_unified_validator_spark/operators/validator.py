@@ -205,13 +205,20 @@ class SparkValidator:
         self._persisted: list[DataFrame] = []
 
     # ------------------------------------------------------------------ #
-    def annotate(self, df: DataFrame) -> tuple[DataFrame, list[CompiledCheck], list[str]]:
+    def annotate(
+        self, df: DataFrame, _skip_unique: bool = False
+    ) -> tuple[DataFrame, list[CompiledCheck], list[str]]:
         """Input df → df + one boolean flag column per check (TRUE = pass).
 
         Row-local checks are pure expressions (one codegen stage); unique and
         referential checks become broadcast-join-produced flags.
+        ``_skip_unique`` omits the unique-join flags entirely — the
+        count-only ``check_counts`` path computes unique totals as direct
+        aggregates instead (no dup-key materialization, no join-back).
         """
         row_checks, global_checks, missing = compile_schema(self.schema, df.columns)
+        if _skip_unique:
+            global_checks = [g for g in global_checks if g.check != "unique"]
         self.unique_join_plan = {}
         self.warnings = []
         for cached in self._persisted:
@@ -473,25 +480,69 @@ class SparkValidator:
     def check_counts(self, df: DataFrame) -> DataFrame:
         """Lazy check-failure totals as a DataFrame (check, n_failed,
         n_checked) — the uncollected core of ``validate`` for composing into
-        larger plans / SQL-oracle comparison. One aggregation job when acted on.
-        """
-        annotated, checks, _ = self.annotate(df)
+        larger plans / SQL-oracle comparison.
+
+        Round 7: unique checks are counted DIRECTLY off the dup-key
+        aggregate (``Σ count(key) WHERE count > 1``) instead of riding the
+        per-row join-back flags — count-only validation never needs a flag
+        per row, so the dup-key set is never materialized, nothing is
+        persisted or counted eagerly, and the input is scanned once per
+        unique column (column-pruned) instead of twice. Streaming inputs
+        keep the annotate path (which skips unique LOUDLY)."""
+        skip_unique = not df.isStreaming
+        annotated, checks, _ = self.annotate(df, _skip_unique=skip_unique)
         flag_names = [c.name for c in checks]
-        if not flag_names:
+        uniq = []
+        if skip_unique:
+            _, global_checks, _m = compile_schema(self.schema, df.columns)
+            uniq = [
+                g
+                for g in global_checks
+                if g.check == "unique" and g.column in df.columns
+            ]
+        if not flag_names and not uniq:
             # checkless schema: empty result with the stable contract schema
             # (a bare stack(0,) would be malformed SQL)
             return df.sparkSession.createDataFrame(
                 [], "check string, n_failed long, n_checked long"
             )
-        aggs = [F.count(F.lit(1)).alias("__n")] + [
-            F.sum((~F.col(FLAG_PREFIX + n)).cast("long")).alias(n) for n in flag_names
-        ]
-        wide = annotated.agg(*aggs)
-        stack_expr = ", ".join(f"'{n}', `{n}`" for n in flag_names)
-        return wide.selectExpr(
-            f"stack({len(flag_names)}, {stack_expr}) as (check, n_failed)",
-            "__n as n_checked",
-        ).select("check", "n_failed", "n_checked")
+        parts: list[DataFrame] = []
+        if flag_names:
+            aggs = [F.count(F.lit(1)).alias("__n")] + [
+                F.sum((~F.col(FLAG_PREFIX + n)).cast("long")).alias(n)
+                for n in flag_names
+            ]
+            wide = annotated.agg(*aggs)
+            stack_expr = ", ".join(f"'{n}', `{n}`" for n in flag_names)
+            parts.append(
+                wide.selectExpr(
+                    f"stack({len(flag_names)}, {stack_expr}) as (check, n_failed)",
+                    "__n as n_checked",
+                ).select("check", "n_failed", "n_checked")
+            )
+        if uniq:
+            total = df.agg(F.count(F.lit(1)).alias("n_checked"))
+            for g in uniq:
+                dup_sum = (
+                    df.filter(F.col(g.column).isNotNull())
+                    .groupBy(g.column)
+                    .agg(F.count(F.lit(1)).alias("__c"))
+                    .filter(F.col("__c") > 1)
+                    .agg(
+                        F.coalesce(F.sum("__c"), F.lit(0))
+                        .cast("long")
+                        .alias("n_failed")
+                    )
+                )
+                parts.append(
+                    dup_sum.crossJoin(total).select(
+                        F.lit(g.name).alias("check"), "n_failed", "n_checked"
+                    )
+                )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionAll(p)
+        return out
 
     # convenience: the reference's filter_invalid_rows split (P5)
     def validate_and_split(self, df: DataFrame) -> tuple[DataFrame, DataFrame, ValidationReport]:

@@ -3106,10 +3106,13 @@ def q_dedup_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = remove_duplicated_spans(
         d.select("doc_id", toks.alias("tokens")), n=8, min_docs=2
     )
-    # position-weighted checksum via posexplode + codegen sum, NOT an
-    # interpreted per-element fold (Spark 4 HOFs are interpreted; the
-    # explode form is all whole-stage codegen and reuses no extra shuffle
-    # beyond its groupBy)
+    # position-weighted checksum via posexplode + codegen sum. Round 7
+    # A/B'd the per-row zip_with/aggregate fold here (the form that wins in
+    # q_packed_bins): it LOST, 9.6s -> 12.1s at sf1.0 — the rebuilt token
+    # array is itself an interpreted CaseWhen/aggregate expression, and the
+    # fold's multiple references re-evaluate it per row, while posexplode
+    # materializes it exactly once. Persisting the synthetic token table
+    # also measured negative (cache write > the rebuild it saves).
     clean = F.coalesce(F.col("tokens"), F.array().cast("array<int>"))
     return (
         out.select(
@@ -3439,30 +3442,40 @@ def q_packed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     packed = pack_sequences(base, capacity=1024, shards=8)
-    bins = materialize_packed_bins(base, packed, capacity=1024, pad_id=63)
+    # copartition=True (round 7): the corpus-scale path — token arrays
+    # cross exactly ONE exchange (the shard repartition; the shuffled-hash
+    # layout join and the (shard, bin) aggregate both reuse it). Output is
+    # bit-identical to the default path (parity-verified at sf1.0 and in
+    # test_materialize_packed_bins_copartition), and the driver gate now
+    # attests the plan a 100 TB run would use.
+    bins = materialize_packed_bins(
+        base, packed, capacity=1024, pad_id=63, copartition=True, shards=8
+    )
     doc_id_sum = F.aggregate(
         F.col("doc_ids"), F.lit(0).cast("long"), lambda a, x: a + x
     )
-    return (
-        bins.select(
-            "shard",
-            "bin",
-            "n_seqs",
-            "fill",
-            "truncated",
-            doc_id_sum.alias("doc_id_sum"),
-            F.posexplode("tokens").alias("__p", "__x"),
-        )
-        .groupBy("shard", "bin")
-        .agg(
-            F.first("n_seqs").alias("n_seqs"),
-            F.first("fill").alias("fill"),
-            F.first("truncated").alias("truncated"),
-            F.first("doc_id_sum").alias("doc_id_sum"),
-            F.sum((F.col("__p") + 1) * F.col("__x")).cast("long").alias("checksum"),
-        )
-        .orderBy("shard", "bin")
+    # per-row fold checksum (round 7): the explode+groupBy form re-keyed
+    # 12.7M exploded tokens through a 5-buffer HashAggregate (measured
+    # 4.6s vs 2.2s for the fold at sf1.0); every bin row here is exactly
+    # `capacity` long (padded), so the fold needs no empty-array guard
+    checksum = F.aggregate(
+        F.zip_with(
+            F.col("tokens"),
+            F.sequence(F.lit(1), F.size("tokens")),
+            lambda t, i: t.cast("long") * i,
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
     )
+    return bins.select(
+        "shard",
+        "bin",
+        "n_seqs",
+        "fill",
+        "truncated",
+        doc_id_sum.alias("doc_id_sum"),
+        checksum.alias("checksum"),
+    ).orderBy("shard", "bin")
 
 
 _SQL_PACKED_BINS = r"""

@@ -45,6 +45,16 @@ def get_spark(
         # scaling for this batch-analytics profile.
         .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # accept subset-key co-partitioning for joins (round 7): two sides
+        # hash-partitioned on a FUNCTIONAL SUBSET of the join keys (e.g.
+        # materialize_packed_bins' shard, derived from the id) can join and
+        # feed a same-subset aggregate with ZERO extra exchanges. The
+        # default (true) re-shuffles both sides on the full key set, which
+        # put the token payload through a second exchange. Scale-safe: the
+        # relaxation only applies when a side is already hash-partitioned
+        # on a join-key subset, which in this engine is always a
+        # deliberately derived, well-spread key.
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

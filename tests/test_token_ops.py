@@ -270,6 +270,49 @@ def test_materialize_packed_bins(spark):
     assert sorted(seen) == sorted(docs)
 
 
+def test_materialize_packed_bins_copartition(spark):
+    """The copartition=True path (round 7): identical rows to the default
+    path, and the token arrays cross EXACTLY ONE exchange — the shard
+    repartition; the shuffled-hash join and the (shard, bin) aggregate
+    both reuse it (no exchange above the join in the physical plan)."""
+    df = spark.range(150).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id") * 13 + 5, F.lit(40)) + 1).cast("int").alias("n_tok"),
+    ).withColumn(
+        "tokens",
+        F.transform(
+            F.sequence(F.lit(0), F.col("n_tok") - 1),
+            lambda i: F.pmod(F.col("n_tok") + i, F.lit(50)).cast("int"),
+        ),
+    )
+    packed = pack_sequences(df, capacity=64, shards=4)
+    base = materialize_packed_bins(df, packed, capacity=64, pad_id=63)
+    cop = materialize_packed_bins(
+        df, packed, capacity=64, pad_id=63, copartition=True, shards=4
+    )
+    key = lambda r: (r["shard"], r["bin"])  # noqa: E731
+    assert sorted(map(key, base.collect())) == sorted(map(key, cop.collect()))
+    a = {key(r): r.asDict() for r in base.collect()}
+    b = {key(r): r.asDict() for r in cop.collect()}
+    assert a == b
+
+    plan = cop._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    tree = plan.split("\n\n")[0].splitlines()
+    join_idx = [i for i, l in enumerate(tree) if "ShuffledHashJoin" in l]
+    assert join_idx, plan  # the copartition path must not broadcast
+    # nothing between the aggregate root and the join re-exchanges the
+    # joined (array-carrying) rows
+    assert not any("Exchange" in l for l in tree[: join_idx[0]]), plan
+    # the corpus side contributes exactly one array-carrying exchange:
+    # every exchange in the plan hashes on shard, none on doc_id/bin
+    assert "hashpartitioning(doc_id" not in plan, plan
+    assert "hashpartitioning(bin" not in plan, plan
+
+
 def test_materialize_packed_bins_truncates_oversize(spark):
     df = spark.createDataFrame(
         [("a", list(range(10))), ("b", list(range(30)))],
