@@ -45,6 +45,13 @@ def get_spark(
         # scaling for this batch-analytics profile.
         .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # operator caches hold short-lived, registry-budgeted scratch whose
+        # hot columns are high-entropy hashes (gram/minhash/bucket longs) —
+        # columnar compression of those is pure CPU overhead (round 7 A/B:
+        # quality_classifier 9.0->7.8s, dsir_select 8.3->6.4s at sf1.0; the
+        # optimization guide makes the same call for high-entropy shuffle
+        # payloads). Memory-tight deployments can re-enable via extra_conf.
+        .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
         # accept subset-key co-partitioning for joins (round 7): two sides
         # hash-partitioned on a FUNCTIONAL SUBSET of the join keys (e.g.
         # materialize_packed_bins' shard, derived from the id) can join and
