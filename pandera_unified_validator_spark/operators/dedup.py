@@ -359,7 +359,20 @@ def minhash_dedup_pairs_incremental(
     avoid rescanning). ``num_hashes``/``bands``/``shingle_k`` MUST match
     the store's build parameters (signatures from mismatched parameters
     band meaninglessly); a cheap one-row probe validates the stored
-    signature width."""
+    signature width.
+
+    PRECONDITION: ``new_df`` ids and ``old_sigs`` ids must be DISJOINT
+    (a re-crawl replacing an existing doc must first retire the old
+    signature from the store). An overlapping id appears on both sides
+    of the tagged union — duplicated candidate rows with ambiguous
+    ``a_is_new``/``b_is_new`` joined against two different ``__shh``
+    sets — and the ``l.__id != r.__id`` band predicate means a CHANGED
+    doc is never compared against its own previous signature. Not
+    probed here: an anti-join/intersection check would scan both stores
+    (a full extra job on the 100 TB refresh path) to guard a contract
+    the snapshot-roll protocol already maintains — callers with
+    uncertain stores should assert disjointness themselves at write
+    time, where the id sets are already materialized."""
     expected = [id_col, "__sig", "__shh"]
     missing = [c for c in expected if c not in old_sigs.columns]
     if missing:

@@ -1205,6 +1205,13 @@ def dsir_log_weights(
     (id, *keep_cols, log_w, n_grams); wordless/NULL docs keep
     ``log_w = 0`` (empty product), ``n_grams = 0``.
 
+    ``keep_cols`` MUST be functionally dependent on ``id_col`` (one value
+    per document): they ride the aggregation as grouping keys, so a
+    non-dependent keep column would split a document into one weight row
+    per distinct value — same requirement as ``fit_resample_dsir``
+    (``score_gram_classifier`` instead takes ``first()`` per id; both
+    behave identically under the dependence this contract requires).
+
     One explode → broadcast join (≤B-row weight table) → groupBy(id)
     partial-aggregated sum; document text never crosses the shuffle —
     only (id, bucket) pairs."""

@@ -277,8 +277,13 @@ def remove_duplicated_spans(
     et al. 2022 — :func:`duplicated_ngram_coverage` is the matching
     measurement): delete from every document the token positions covered
     by a duplicated ``n``-gram occurrence, keeping ONE canonical
-    occurrence per gram (the first by ``(doc_id, pos)``) so repeated
-    boilerplate survives exactly once in the corpus.
+    occurrence per gram (the first by ``(doc_id, pos)``). The guarantee
+    is per GRAM, not per run: each duplicated ``n``-gram survives at its
+    first ``(doc_id, pos)`` occurrence. When the overlapping grams of one
+    repeated run have canonical occurrences in *different* documents
+    (possible with interleaved duplicate content), every copy of the run
+    can be partially shredded — no single intact copy is promised, only
+    that no gram disappears from the corpus entirely.
 
     Returns one row per input document: ``(id, *keep_cols, tokens_col,
     tok_len, n_removed)`` where ``tokens_col`` is the rebuilt array

@@ -221,8 +221,15 @@ def main() -> int:
         flags = token_sequence_flags(toks, vocab_size=model.vocab_size)
         stages["tokenized_ok"] = flags.where("seq_ok").count()
         packed = pack_sequences(toks, capacity=args.pack_capacity, shards=64)
+        # pad with an OUT-OF-BAND id (== vocab_size, one past the last
+        # learned merge): vocab_size - 1 is a live vocabulary token, which
+        # would make padding indistinguishable from data for any consumer
+        # that doesn't honor seq_lens boundaries. Downstream embedding
+        # tables must therefore size vocab_size + 1. (The packed_bins GATE
+        # query keeps its deliberate in-alphabet pad — checksum
+        # sensitivity — this is the production bridge.)
         bins = materialize_packed_bins(
-            toks, packed, capacity=args.pack_capacity, pad_id=model.vocab_size - 1
+            toks, packed, capacity=args.pack_capacity, pad_id=model.vocab_size
         )
         bins.write.mode("overwrite").parquet(args.output + "_bins")
         bdf = spark.read.parquet(args.output + "_bins")
