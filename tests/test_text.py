@@ -703,3 +703,48 @@ def test_gram_classifier_token_payload(spark):
            score_gram_classifier(df, model, text_col="tokens").collect()}
     assert min(got[f"g{i}"] for i in range(6)) > 0.9
     assert max(got[f"s{i}"] for i in range(6)) < 0.1
+
+
+def test_fit_resample_dsir_matches_two_pass_api(spark):
+    """Round-7 one-explode fit+score+select must be BIT-IDENTICAL to
+    fit_dsir(target, raw) + dsir_resample(raw): same bucket log-ratios,
+    same selected rows. A NULL target flag counts as NON-target, exactly
+    like the two-pass API's where()-built target (NULL-drop) — the gate
+    corpus has no NULL lang, so only this test covers that equivalence."""
+    from pandera_unified_validator_spark.operators.text import (
+        dsir_resample,
+        fit_dsir,
+        fit_resample_dsir,
+    )
+
+    rows = (
+        [(f"t{i}", "alpha alpha common words", True) for i in range(4)]
+        + [(f"a{i}", "alpha common words here", False) for i in range(20)]
+        + [(f"b{i}", "beta unrelated junk spam", False) for i in range(20)]
+        + [("n0", "beta junk with null flag", None)]
+    )
+    df = spark.createDataFrame(rows, "doc_id string, text string, is_t boolean")
+
+    model2 = fit_dsir(
+        df.where(F.col("is_t")), df, num_buckets=509, hash_fn="md5"
+    )
+    sel2 = dsir_resample(df, model2, 15, seed=7).collect()
+
+    model1, sel1_df = fit_resample_dsir(
+        df, "is_t", 15, seed=7, num_buckets=509, hash_fn="md5"
+    )
+    sel1 = sel1_df.collect()
+
+    lr1 = {r["bucket"]: r["log_ratio"] for r in model1.log_ratio.collect()}
+    lr2 = {r["bucket"]: r["log_ratio"] for r in model2.log_ratio.collect()}
+    assert lr1 == lr2
+    assert model1.default_log_ratio == model2.default_log_ratio
+    assert [tuple(r) for r in sel1] == [tuple(r) for r in sel2]
+    # the NULL-flag doc is scorable raw-side (it could be selected) but
+    # must not have contributed to target counts: flipping its flag to
+    # False changes nothing
+    model3, sel3_df = fit_resample_dsir(
+        df.fillna(False, subset=["is_t"]), "is_t", 15, seed=7,
+        num_buckets=509, hash_fn="md5",
+    )
+    assert [tuple(r) for r in sel3_df.collect()] == [tuple(r) for r in sel1]

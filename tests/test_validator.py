@@ -385,3 +385,36 @@ def test_samples_keep_native_types(spark):
     chk = next(c for c in res.report.checks if c.n_failed)
     assert chk.samples and isinstance(chk.samples[0]["ts"], datetime.datetime)
     assert isinstance(chk.samples[0]["v"], float) and chk.samples[0]["v"] == -5.0
+
+
+def test_check_counts_count_only_unique_matches_validate(spark):
+    """Round-7: batch check_counts computes unique totals directly off the
+    dup-key aggregate (no per-row join-back, no eager persist). Totals
+    must match validate()'s flag-counted report exactly — including NULL
+    keys (pass unique, count in n_checked) and the all-unique zero case."""
+    from pandera_unified_validator_spark.plans.schema import SchemaBuilder
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3), (None, 4), (None, 5), ("c", 6)],
+        "k string, v int",
+    )
+    schema = (
+        SchemaBuilder("t")
+        .column("k", "str", unique=True)
+        .column("v", "int", unique=True, ge=0)
+        .build()
+    )
+    v = SparkValidator(schema)
+    counts = {
+        r["check"]: (r["n_failed"], r["n_checked"])
+        for r in v.check_counts(df).collect()
+    }
+    # count-only path: no dup-key set materialized or persisted
+    assert v._persisted == []
+    rep = SparkValidator(schema).validate(df).report
+    expected = {c.name: (c.n_failed, c.n_checked) for c in rep.checks}
+    assert counts == expected
+    # spot values: 'a' duplicated (2 rows fail), NULL keys pass unique,
+    # v all-unique -> 0
+    assert counts["k__unique"] == (2, 6)
+    assert counts["v__unique"] == (0, 6)
